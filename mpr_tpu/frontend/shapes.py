@@ -1,0 +1,170 @@
+"""Shape standard library.
+
+Replaces the libfive Scheme stdlib used by the reference GUI examples
+(``/root/reference/gui/examples/*.io``): CSG primitives, transforms, and the
+paper's figure shapes.  Everything returns a plain :class:`Tree`, so users
+compose shapes directly in Python instead of Guile Scheme
+(``/root/reference/gui/interpreter.cpp``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from .tree import (Tree, x, y, z, const, minimum, maximum, sqrt, square,
+                   sin, cos, atan)
+
+
+# -- CSG ---------------------------------------------------------------------
+
+def union(*shapes: Tree) -> Tree:
+    out = shapes[0]
+    for s in shapes[1:]:
+        out = minimum(out, s)
+    return out
+
+
+def intersection(*shapes: Tree) -> Tree:
+    out = shapes[0]
+    for s in shapes[1:]:
+        out = maximum(out, s)
+    return out
+
+
+def difference(a: Tree, b: Tree) -> Tree:
+    return maximum(a, -b)
+
+
+def inverse(a: Tree) -> Tree:
+    return -a
+
+
+def offset(a: Tree, o: float) -> Tree:
+    return a - o
+
+
+def blend(a: Tree, b: Tree, m: float) -> Tree:
+    """Smooth union (libfive stdlib blend)."""
+    return union(union(a, b), sqrt(abs(a)) + sqrt(abs(b)) - m)
+
+
+# -- primitives ----------------------------------------------------------------
+
+def circle(r: float, cx: float = 0.0, cy: float = 0.0) -> Tree:
+    """The paper's running example (benchmark/circle.cpp:22-24 uses
+    sqrt(x^2+y^2) - 1 scaled)."""
+    return sqrt(square(x() - cx) + square(y() - cy)) - r
+
+
+def sphere(r: float, cx: float = 0.0, cy: float = 0.0, cz: float = 0.0) -> Tree:
+    return sqrt(square(x() - cx) + square(y() - cy) + square(z() - cz)) - r
+
+
+def box(xmin: float, xmax: float, ymin: float, ymax: float,
+        zmin: float = None, zmax: float = None) -> Tree:
+    out = intersection(xmin - x(), x() - xmax, ymin - y(), y() - ymax)
+    if zmin is not None:
+        out = intersection(out, zmin - z(), z() - zmax)
+    return out
+
+
+def rectangle(xmin: float, xmax: float, ymin: float, ymax: float) -> Tree:
+    return box(xmin, xmax, ymin, ymax)
+
+
+def cylinder_z(r: float, zmin: float, zmax: float,
+               cx: float = 0.0, cy: float = 0.0) -> Tree:
+    return extrude_z(circle(r, cx, cy), zmin, zmax)
+
+
+def torus_z(ro: float, ri: float) -> Tree:
+    d = sqrt(square(x()) + square(y())) - ro
+    return sqrt(square(d) + square(z())) - ri
+
+
+def half_space_z(z0: float = 0.0) -> Tree:
+    return z() - z0
+
+
+def gyroid(period: float = 1.0, thickness: float = 0.1) -> Tree:
+    s = 2.0 * math.pi / period
+    g = (sin(x() * s) * cos(y() * s) + sin(y() * s) * cos(z() * s)
+         + sin(z() * s) * cos(x() * s))
+    return abs(g) - thickness
+
+
+# -- transforms -----------------------------------------------------------------
+
+def extrude_z(shape2d: Tree, zmin: float, zmax: float) -> Tree:
+    return intersection(shape2d, zmin - z(), z() - zmax)
+
+
+def move(shape: Tree, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0) -> Tree:
+    return shape.remap(x() - dx, y() - dy, z() - dz)
+
+
+def scale(shape: Tree, sx: float, sy: float = None, sz: float = None) -> Tree:
+    sy = sx if sy is None else sy
+    sz = sx if sz is None else sz
+    return shape.remap(x() / sx, y() / sy, z() / sz)
+
+
+def rotate_z(shape: Tree, angle: float) -> Tree:
+    c, s = math.cos(angle), math.sin(angle)
+    return shape.remap(c * x() + s * y(), -s * x() + c * y(), z())
+
+
+def rotate_x(shape: Tree, angle: float) -> Tree:
+    c, s = math.cos(angle), math.sin(angle)
+    return shape.remap(x(), c * y() + s * z(), -s * y() + c * z())
+
+
+def rotate_y(shape: Tree, angle: float) -> Tree:
+    c, s = math.cos(angle), math.sin(angle)
+    return shape.remap(c * x() - s * z(), y(), s * x() + c * z())
+
+
+def reflect_x(shape: Tree) -> Tree:
+    return shape.remap(-x(), y(), z())
+
+
+# -- benchmark / demo shapes -------------------------------------------------
+
+def two_spheres() -> Tree:
+    """The baked-in shape of the reference's hand-compiled brute kernel
+    (/root/reference/benchmark/brute.cu:29-62): min of two spheres."""
+    return union(sphere(0.8, -0.25, -0.25, -0.25),
+                 sphere(0.7, 0.25, 0.25, 0.25))
+
+
+def capped_sphere() -> Tree:
+    """Sphere clipped by a half-space, as in render_effects' default shape
+    (/root/reference/benchmark/render_effects.cpp)."""
+    return intersection(sphere(0.8), z() - 0.4)
+
+
+def ring(ro: float = 0.9, ri: float = 0.5) -> Tree:
+    """The print_tape_table shape (/root/reference/benchmark/print_tape_table.cpp:44-51)."""
+    d = sqrt(square(x()) + square(y()))
+    return intersection(d - ro, ri - d)
+
+
+def menger(level: int = 2) -> Tree:
+    """Menger-sponge-ish stress shape for 3D benchmarks."""
+    shape = box(-1, 1, -1, 1, -1, 1)
+    holes = []
+    step = 2.0
+    for lv in range(level):
+        step /= 3.0
+        n = int(round(1.0 / step))
+        for i in range(-n, n + 1):
+            for j in range(-n, n + 1):
+                if (abs(i) % 3 == 1 and abs(j) % 3 == 1) or (i == 0 and j == 0):
+                    cx_, cy_ = i * 3 * step, j * 3 * step
+                    s = step
+                    holes.append(box(cx_ - s, cx_ + s, cy_ - s, cy_ + s,
+                                     -2, 2))
+    out = shape
+    for h in holes[:40]:
+        out = difference(out, h)
+    return out

@@ -1,0 +1,42 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real-TPU benchmarking happens via bench.py; unit tests exercise the same
+jitted code paths on CPU (Pallas kernels run in interpret mode there) so the
+suite runs anywhere, including the multi-chip sharding tests
+(SURVEY.md section 4: fake mesh axes on one host).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+MODELS_DIR = pathlib.Path("/root/reference/benchmark/files")
+
+
+@pytest.fixture(scope="session")
+def models_dir():
+    return MODELS_DIR
+
+
+@pytest.fixture(scope="session")
+def prospero_tree():
+    from mpr_tpu.frontend import frep
+    return frep.load(str(MODELS_DIR / "prospero.frep"))[0].tree
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
