@@ -41,174 +41,32 @@ _NAN = np.float32(np.nan)
 
 
 # ---------------------------------------------------------------------------
-# Interval primitives (vectorized over trailing axes)
+# Interval primitives: shared with the JAX kernels via ops/interval_math.py
+# (single source of truth for the gpu_interval.hpp semantics); bound to
+# NumPy here.
 # ---------------------------------------------------------------------------
 
-def i_add(al, ah, bl, bh):
-    return al + bl, ah + bh
+from functools import partial as _partial
 
+from .ops import interval_math as _im
 
-def i_sub(al, ah, bl, bh):
-    return al - bh, ah - bl
-
-
-def i_neg(al, ah):
-    return -ah, -al
-
-
-def i_mul(al, ah, bl, bh):
-    """Sign-case interval multiply (gpu_interval.hpp:85-146).
-
-    The case analysis (rather than min/max over the four products) matters
-    when an operand is exactly [0,0] against an infinite interval: the
-    reference returns {0,0}, while 0*inf would give NaN.
-    """
-    with np.errstate(invalid="ignore"):
-        p1 = al * bl
-        p2 = al * bh
-        p3 = ah * bl
-        p4 = ah * bh
-    xn, xp = al < 0.0, ah > 0.0
-    yn, yp = bl < 0.0, bh > 0.0
-    x_m, x_n, x_p = xn & xp, xn & ~xp, ~xn & xp
-    y_m, y_n, y_p = yn & yp, yn & ~yp, ~yn & yp
-    zero = np.zeros_like(al)
-    lo = np.select(
-        [x_m & y_m, x_m & y_n, x_m & y_p,
-         x_n & y_m, x_n & y_n, x_n & y_p,
-         x_p & y_m, x_p & y_n, x_p & y_p],
-        [np.minimum(p2, p3), p3, p2,
-         p2, p4, p2,
-         p3, p3, p1],
-        zero)
-    hi = np.select(
-        [x_m & y_m, x_m & y_n, x_m & y_p,
-         x_n & y_m, x_n & y_n, x_n & y_p,
-         x_p & y_m, x_p & y_n, x_p & y_p],
-        [np.maximum(p1, p4), p1, p4,
-         p1, p1, p3,
-         p4, p2, p4],
-        zero)
-    return lo, hi
-
-
-def i_div(al, ah, bl, bh):
-    """Interval divide; divisor spanning 0 -> (-inf, inf)
-    (gpu_interval.hpp:162-204)."""
-    with np.errstate(divide="ignore", invalid="ignore"):
-        spans = (bl <= 0.0) & (bh >= 0.0)
-        x_neg = ah < 0.0          # x strictly negative
-        x_mix = ~x_neg & (al < 0.0)
-        y_neg = bh < 0.0
-        lo = np.select(
-            [x_neg & y_neg, x_neg & ~y_neg,
-             x_mix & y_neg, x_mix & ~y_neg],
-            [ah / bl, al / bl,
-             ah / bh, al / bl],
-            np.where(y_neg, ah / bh, al / bh))   # x >= 0 cases
-        hi = np.select(
-            [x_neg & y_neg, x_neg & ~y_neg,
-             x_mix & y_neg, x_mix & ~y_neg],
-            [al / bh, ah / bh,
-             al / bh, ah / bl],
-            np.where(y_neg, al / bl, ah / bl))
-    lo = np.where(spans, -_INF, lo)
-    hi = np.where(spans, _INF, hi)
-    return lo, hi
-
-
-def i_min(al, ah, bl, bh):
-    """Returns (lo, hi, choice): 1 = LHS only, 2 = RHS only, 0 = both
-    (gpu_interval.hpp:208-228)."""
-    c1 = ah < bl
-    c2 = bh < al
-    choice = np.where(c1, 1, np.where(c2, 2, 0)).astype(np.int32)
-    lo = np.where(c1, al, np.where(c2, bl, np.minimum(al, bl)))
-    hi = np.where(c1, ah, np.where(c2, bh, np.minimum(ah, bh)))
-    return lo, hi, choice
-
-
-def i_max(al, ah, bl, bh):
-    """Returns (lo, hi, choice) (gpu_interval.hpp:232-252)."""
-    c1 = al > bh
-    c2 = bl > ah
-    choice = np.where(c1, 1, np.where(c2, 2, 0)).astype(np.int32)
-    lo = np.where(c1, al, np.where(c2, bl, np.maximum(al, bl)))
-    hi = np.where(c1, ah, np.where(c2, bh, np.maximum(ah, bh)))
-    return lo, hi, choice
-
-
-def i_square(al, ah):
-    """Sign-aware square (gpu_interval.hpp:256-266)."""
-    neg = ah < 0.0
-    pos = al > 0.0
-    lo = np.where(neg, ah * ah, np.where(pos, al * al, 0.0))
-    hi = np.where(np.abs(al) > np.abs(ah), al * al, ah * ah)
-    hi = np.where(neg, al * al, np.where(pos, ah * ah, hi))
-    return lo, hi
-
-
-def i_abs(al, ah):
-    neg = ah < 0.0
-    pos = al >= 0.0
-    lo = np.where(pos, al, np.where(neg, -ah, 0.0))
-    hi = np.where(pos, ah, np.where(neg, -al, np.maximum(-al, ah)))
-    return lo, hi
-
-
-def i_sqrt(al, ah):
-    """NaN below domain; clamped at 0 (gpu_interval.hpp:296-304)."""
-    with np.errstate(invalid="ignore"):
-        bad = ah < 0.0
-        lo = np.where(al <= 0.0, 0.0, np.sqrt(np.maximum(al, 0.0)))
-        hi = np.sqrt(np.maximum(ah, 0.0))
-    lo = np.where(bad, _NAN, lo)
-    hi = np.where(bad, _NAN, hi)
-    return lo, hi
-
-
-def i_log(al, ah):
-    """Reference quirk: strip containing 0 -> [0, log(hi)]
-    (gpu_interval.hpp:382-391)."""
-    with np.errstate(divide="ignore", invalid="ignore"):
-        bad = ah < 0.0
-        lo = np.where(al <= 0.0, 0.0, np.log(np.maximum(al, 1e-38)))
-        hi = np.log(np.maximum(ah, 0.0))
-    lo = np.where(bad, _NAN, lo)
-    hi = np.where(bad, _NAN, hi)
-    return lo, hi
-
-
-def i_exp(al, ah):
-    return np.exp(al), np.exp(ah)
-
-
-def i_sin(al, ah):
-    # Reference: always [-1, 1] (gpu_interval.hpp:346-380 early return)
-    return np.full_like(al, -1.0), np.full_like(ah, 1.0)
-
-
-i_cos = i_sin
-
-
-def i_asin(al, ah):
-    with np.errstate(invalid="ignore"):
-        bad = (ah < -1.0) | (al > 1.0)
-        lo = np.arcsin(np.clip(al, -1.0, 1.0))
-        hi = np.arcsin(np.clip(ah, -1.0, 1.0))
-    return np.where(bad, _NAN, lo), np.where(bad, _NAN, hi)
-
-
-def i_acos(al, ah):
-    with np.errstate(invalid="ignore"):
-        bad = (ah < -1.0) | (al > 1.0)
-        lo = np.arccos(np.clip(ah, -1.0, 1.0))
-        hi = np.arccos(np.clip(al, -1.0, 1.0))
-    return np.where(bad, _NAN, lo), np.where(bad, _NAN, hi)
-
-
-def i_atan(al, ah):
-    return np.arctan(al), np.arctan(ah)
+i_add = _partial(_im.i_add, np)
+i_sub = _partial(_im.i_sub, np)
+i_neg = _partial(_im.i_neg, np)
+i_mul = _partial(_im.i_mul, np)
+i_div = _partial(_im.i_div, np)
+i_min = _partial(_im.i_min, np)
+i_max = _partial(_im.i_max, np)
+i_square = _partial(_im.i_square, np)
+i_abs = _partial(_im.i_abs, np)
+i_sqrt = _partial(_im.i_sqrt, np)
+i_log = _partial(_im.i_log, np)
+i_exp = _partial(_im.i_exp, np)
+i_sin = _partial(_im.i_sin, np)
+i_cos = _partial(_im.i_cos, np)
+i_asin = _partial(_im.i_asin, np)
+i_acos = _partial(_im.i_acos, np)
+i_atan = _partial(_im.i_atan, np)
 
 
 # ---------------------------------------------------------------------------

@@ -9,10 +9,9 @@ suite runs anywhere, including the multi-chip sharding tests
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE: --xla_force_host_platform_device_count=8 is NOT set globally: it
+# slows every XLA CPU compile ~70x.  Sharding tests (test_parallel.py) spawn
+# subprocesses with that flag instead.
 
 import pathlib
 import sys
