@@ -1,0 +1,613 @@
+"""Pallas TPU kernels: the performance core of the renderer.
+
+Two kernels re-express the reference's CUDA device code (SURVEY.md sec. 2.1)
+in TPU-native form:
+
+  * :func:`interval_shorten` — fuses ``calculate_intervals`` +
+    ``eval_tiles_i`` (Algs 1-2; /root/reference/src/context.cu:188-459):
+    per-tile interval evaluation with 2-bit choice recording, then the
+    backward mark-and-sweep tape push, all in VMEM.  Lanes are tiles (the
+    SIMT analog: one CUDA thread per tile -> one VPU lane per tile).
+    Instead of writing compacted subtapes through a global atomic arena
+    (impossible and unnecessary under XLA), it emits per-clause 4-bit CODES
+    (drop / keep / copy-lhs / copy-rhs / copy-imm); an XLA top_k pass
+    (render/pipeline2d.py) compacts these into dense per-tile tapes.
+
+  * :func:`pixel_eval` — ``eval_voxels_f``-style concrete evaluation
+    (/root/reference/src/context.cu:707-964), grid over tile-groups: each
+    instance evaluates all pixels of one tile with that tile's shortened
+    tape held in SMEM (scalar-dispatched, so lanes never diverge — the TPU
+    version of "tiles in a warp share a tape",
+    /root/reference/src/context.cu:169-172).
+
+Design rules learned from micro-benchmarks on v5e (kept in
+``docs/perf_notes.md``):
+  * tape words/imms must live in SMEM (scalar prefetch) — per-clause scalar
+    dispatch costs ~30 ns regardless of lane width up to ~2048 lanes;
+  * register file rows are (8, LANES/8) so each row op fills whole
+    (8, 128) VREG tiles;
+  * one pallas_call per stage; instance count kept ~<=512 per call
+    (instance switch ~ couple of us).
+
+Tape word layout: int32 = op | out<<8 | lhs<<16 | rhs<<24 (byte-parity with
+/root/reference/inc/clause.hpp); imm rides in a parallel f32 plane.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tape.opcodes import Op, CHOICE_OP_LO, CHOICE_OP_HI
+from . import transcendental as tc
+
+# Status codes (match the spirit of position=-1 marking in the reference).
+ST_EMPTY = 0
+ST_FILLED = 1
+ST_AMBIG = 2
+
+# Shorten codes (4-bit, packed 8/word).
+CODE_DROP = 0
+CODE_KEEP = 1
+CODE_COPY_LHS = 2
+CODE_COPY_RHS = 3
+CODE_COPY_IMM = 4
+
+SLOT_CAP = 128
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Interval op branch table
+# ---------------------------------------------------------------------------
+
+def _interval_branch_list():
+    """Branches for lax.switch: (al, ah, bl, bh, imm) -> (rl, rh, choice).
+
+    Choice semantics per gpu_interval.hpp:208-252 (1=LHS, 2=RHS, 0=both).
+    Interval semantics mirror ops/interval_math.py; re-stated here in a
+    scalar-imm-aware form so IMM variants don't materialize an interval.
+    """
+    def no_c(rl, rh, like):
+        return rl, rh, jnp.zeros_like(like, jnp.int32)
+
+    def nop(al, ah, bl, bh, imm):
+        z = al * 0.0
+        return no_c(z, z, al)
+
+    def square(al, ah, bl, bh, imm):
+        neg = ah < 0.0
+        pos = al > 0.0
+        ll, hh = al * al, ah * ah
+        lo = jnp.where(neg, hh, jnp.where(pos, ll, 0.0))
+        hi = jnp.where(jnp.abs(al) > jnp.abs(ah), ll, hh)
+        hi = jnp.where(neg, ll, jnp.where(pos, hh, hi))
+        return no_c(lo, hi, al)
+
+    def sqrt_(al, ah, bl, bh, imm):
+        bad = ah < 0.0
+        lo = jnp.where(al <= 0.0, 0.0, jnp.sqrt(jnp.maximum(al, 0.0)))
+        hi = jnp.sqrt(jnp.maximum(ah, 0.0))
+        nan = jnp.float32(jnp.nan)
+        return no_c(jnp.where(bad, nan, lo), jnp.where(bad, nan, hi), al)
+
+    def neg(al, ah, bl, bh, imm):
+        return no_c(-ah, -al, al)
+
+    def sincos(al, ah, bl, bh, imm):
+        # Reference quirk: interval sin/cos always [-1,1]
+        # (gpu_interval.hpp:346-380).
+        return no_c(jnp.full_like(al, -1.0), jnp.full_like(ah, 1.0), al)
+
+    def asin_(al, ah, bl, bh, imm):
+        bad = (ah < -1.0) | (al > 1.0)
+        lo = tc.asin(jnp.clip(al, -1.0, 1.0))
+        hi = tc.asin(jnp.clip(ah, -1.0, 1.0))
+        nan = jnp.float32(jnp.nan)
+        return no_c(jnp.where(bad, nan, lo), jnp.where(bad, nan, hi), al)
+
+    def acos_(al, ah, bl, bh, imm):
+        bad = (ah < -1.0) | (al > 1.0)
+        lo = tc.acos(jnp.clip(ah, -1.0, 1.0))
+        hi = tc.acos(jnp.clip(al, -1.0, 1.0))
+        nan = jnp.float32(jnp.nan)
+        return no_c(jnp.where(bad, nan, lo), jnp.where(bad, nan, hi), al)
+
+    def atan_(al, ah, bl, bh, imm):
+        return no_c(tc.atan(al), tc.atan(ah), al)
+
+    def exp_(al, ah, bl, bh, imm):
+        return no_c(jnp.exp(al), jnp.exp(ah), al)
+
+    def abs_(al, ah, bl, bh, imm):
+        neg_ = ah < 0.0
+        pos = al >= 0.0
+        lo = jnp.where(pos, al, jnp.where(neg_, -ah, 0.0))
+        hi = jnp.where(pos, ah, jnp.where(neg_, -al, jnp.maximum(-al, ah)))
+        return no_c(lo, hi, al)
+
+    def log_(al, ah, bl, bh, imm):
+        # Reference quirk preserved (gpu_interval.hpp:382-391).
+        bad = ah < 0.0
+        lo = jnp.where(al <= 0.0, 0.0, jnp.log(jnp.maximum(al, 1e-38)))
+        hi = jnp.where(ah <= 0.0, -jnp.inf, jnp.log(jnp.maximum(ah, 1e-38)))
+        nan = jnp.float32(jnp.nan)
+        return no_c(jnp.where(bad, nan, lo), jnp.where(bad, nan, hi), al)
+
+    def add_imm(al, ah, bl, bh, imm):
+        return no_c(al + imm, ah + imm, al)
+
+    def add(al, ah, bl, bh, imm):
+        return no_c(al + bl, ah + bh, al)
+
+    def mul_imm(al, ah, bl, bh, imm):
+        lo = jnp.where(imm < 0.0, ah * imm, al * imm)
+        hi = jnp.where(imm < 0.0, al * imm, ah * imm)
+        return no_c(lo, hi, al)
+
+    def mul(al, ah, bl, bh, imm):
+        p1, p2, p3, p4 = al * bl, al * bh, ah * bl, ah * bh
+        xn, xp = al < 0.0, ah > 0.0
+        yn, yp = bl < 0.0, bh > 0.0
+        x_m, x_n, x_p = xn & xp, xn & ~xp, ~xn & xp
+        y_m, y_n, y_p = yn & yp, yn & ~yp, ~yn & yp
+        zero = al * 0.0
+        # nested wheres, first-true-wins (jnp.select lowers via argmax,
+        # which Mosaic does not support for int operands)
+        def sel(pairs, default):
+            r = default
+            for c, v in reversed(pairs):
+                r = jnp.where(c, v, r)
+            return r
+        cases = [x_m & y_m, x_m & y_n, x_m & y_p, x_n & y_m, x_n & y_n,
+                 x_n & y_p, x_p & y_m, x_p & y_n, x_p & y_p]
+        lo = sel(list(zip(cases,
+                 [jnp.minimum(p2, p3), p3, p2, p2, p4, p2, p3, p3, p1])), zero)
+        hi = sel(list(zip(cases,
+                 [jnp.maximum(p1, p4), p1, p4, p1, p1, p3, p4, p2, p4])), zero)
+        return no_c(lo, hi, al)
+
+    def min_imm(al, ah, bl, bh, imm):
+        c1 = ah < imm
+        c2 = imm < al
+        c = jnp.where(c1, 1, jnp.where(c2, 2, 0))
+        lo = jnp.where(c1, al, jnp.where(c2, imm, jnp.minimum(al, imm)))
+        hi = jnp.where(c1, ah, jnp.where(c2, imm, jnp.minimum(ah, imm)))
+        return lo, hi, c
+
+    def min_rhs(al, ah, bl, bh, imm):
+        c1 = ah < bl
+        c2 = bh < al
+        c = jnp.where(c1, 1, jnp.where(c2, 2, 0))
+        lo = jnp.where(c1, al, jnp.where(c2, bl, jnp.minimum(al, bl)))
+        hi = jnp.where(c1, ah, jnp.where(c2, bh, jnp.minimum(ah, bh)))
+        return lo, hi, c
+
+    def max_imm(al, ah, bl, bh, imm):
+        c1 = al > imm
+        c2 = imm > ah
+        c = jnp.where(c1, 1, jnp.where(c2, 2, 0))
+        lo = jnp.where(c1, al, jnp.where(c2, imm, jnp.maximum(al, imm)))
+        hi = jnp.where(c1, ah, jnp.where(c2, imm, jnp.maximum(ah, imm)))
+        return lo, hi, c
+
+    def max_rhs(al, ah, bl, bh, imm):
+        c1 = al > bh
+        c2 = bl > ah
+        c = jnp.where(c1, 1, jnp.where(c2, 2, 0))
+        lo = jnp.where(c1, al, jnp.where(c2, bl, jnp.maximum(al, bl)))
+        hi = jnp.where(c1, ah, jnp.where(c2, bh, jnp.maximum(ah, bh)))
+        return lo, hi, c
+
+    def sub_imm(al, ah, bl, bh, imm):
+        return no_c(al - imm, ah - imm, al)
+
+    def sub_imm_rhs(al, ah, bl, bh, imm):
+        return no_c(imm - bh, imm - bl, al)
+
+    def sub(al, ah, bl, bh, imm):
+        return no_c(al - bh, ah - bl, al)
+
+    def _div(al, ah, bl, bh):
+        spans = (bl <= 0.0) & (bh >= 0.0)
+        sbl = jnp.where(spans, -1.0, bl)
+        sbh = jnp.where(spans, 1.0, bh)
+        x_neg = ah < 0.0
+        x_mix = ~x_neg & (al < 0.0)
+        y_neg = bh < 0.0
+        def sel(pairs, default):
+            r = default
+            for c, v in reversed(pairs):
+                r = jnp.where(c, v, r)
+            return r
+        dcases = [x_neg & y_neg, x_neg & ~y_neg, x_mix & y_neg, x_mix & ~y_neg]
+        lo = sel(list(zip(dcases, [ah / sbl, al / sbl, ah / sbh, al / sbl])),
+                 jnp.where(y_neg, ah / sbh, al / sbh))
+        hi = sel(list(zip(dcases, [al / sbh, ah / sbh, al / sbh, ah / sbl])),
+                 jnp.where(y_neg, al / sbl, ah / sbl))
+        inf = jnp.float32(jnp.inf)
+        return jnp.where(spans, -inf, lo), jnp.where(spans, inf, hi)
+
+    def div_imm(al, ah, bl, bh, imm):
+        lo, hi = _div(al, ah, jnp.full_like(al, imm), jnp.full_like(ah, imm))
+        return no_c(lo, hi, al)
+
+    def div_imm_rhs(al, ah, bl, bh, imm):
+        lo, hi = _div(jnp.full_like(al, imm), jnp.full_like(ah, imm), bl, bh)
+        return no_c(lo, hi, al)
+
+    def div(al, ah, bl, bh, imm):
+        lo, hi = _div(al, ah, bl, bh)
+        return no_c(lo, hi, al)
+
+    def copy_imm(al, ah, bl, bh, imm):
+        i = jnp.full_like(al, imm)
+        return no_c(i, i, al)
+
+    def copy_lhs(al, ah, bl, bh, imm):
+        return no_c(al, ah, al)
+
+    def copy_rhs(al, ah, bl, bh, imm):
+        return no_c(bl, bh, al)
+
+    return [
+        nop, nop,                 # INVALID, JUMP
+        square, sqrt_, neg, sincos, sincos, asin_, acos_, atan_,
+        exp_, abs_, log_,
+        add_imm, add, mul_imm, mul,
+        min_imm, min_rhs, max_imm, max_rhs,
+        sub_imm, sub_imm_rhs, sub,
+        div_imm, div_imm_rhs, div,
+        copy_imm, copy_lhs, copy_rhs,
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: interval eval + in-kernel tape shortening (uniform tape)
+# ---------------------------------------------------------------------------
+
+def _interval_shorten_kernel(
+        # scalar prefetch
+        meta_ref,      # (8,) int32: [T, S, result_slot, sx, sy, sz, _, _]
+        words_ref,     # (Tcap,) int32
+        imms_ref,      # (Tcap,) f32
+        # inputs
+        boxes_ref,     # (1, 6, 8, LB8) f32: xl xh yl yh zl zh per lane
+        # outputs
+        status_ref,    # (1, 8, LB8) int32
+        codes_ref,     # (1, Tcap//8, 8, LB8) int32: 4-bit codes, 8 per word
+        # scratch
+        regs_ref,      # (S_cap, 2, 8, LB8) f32 lo/hi register file
+        act_ref,       # (S_cap, 8, LB8) int32 active flags (backward pass)
+        cho_ref,       # (CW, 8, LB8) int32 packed 2-bit choices
+):
+    branches = _interval_branch_list()
+    T = meta_ref[0]
+    res = meta_ref[2]
+    sx, sy, sz = meta_ref[3], meta_ref[4], meta_ref[5]
+
+    zero_v = jnp.zeros_like(boxes_ref[0, 0])
+    # Axis seeds.  An unused axis has slot 0; those writes land on row 0,
+    # which is re-zeroed right after (slot 0 must read as the [0,0]
+    # "no operand" sentinel, like the reference's never-allocated slot 0).
+    regs_ref[pl.ds(sx, 1), 0] = boxes_ref[0, 0][None]
+    regs_ref[pl.ds(sx, 1), 1] = boxes_ref[0, 1][None]
+    regs_ref[pl.ds(sy, 1), 0] = boxes_ref[0, 2][None]
+    regs_ref[pl.ds(sy, 1), 1] = boxes_ref[0, 3][None]
+    regs_ref[pl.ds(sz, 1), 0] = boxes_ref[0, 4][None]
+    regs_ref[pl.ds(sz, 1), 1] = boxes_ref[0, 5][None]
+    regs_ref[0, 0] = zero_v
+    regs_ref[0, 1] = zero_v
+
+    # ---- forward interval pass with choice recording ----------------------
+    def fwd(t, carry):
+        cword, ci = carry
+        w = words_ref[t]
+        op = w & 0xFF
+        out = (w >> 8) & 0xFF
+        lhs = (w >> 16) & 0xFF
+        rhs = (w >> 24) & 0xFF
+        imm = imms_ref[t]
+        ab = regs_ref[pl.ds(lhs, 1)][0]     # (2, 8, LB8)
+        bb = regs_ref[pl.ds(rhs, 1)][0]
+        rl, rh, c = lax.switch(op, branches,
+                               ab[0], ab[1], bb[0], bb[1], imm)
+        regs_ref[pl.ds(out, 1), 0] = rl[None]
+        regs_ref[pl.ds(out, 1), 1] = rh[None]
+        has_choice = jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI)
+        cword = jnp.where(has_choice, cword | (c << (2 * (ci % 16))), cword)
+        do_flush = jnp.logical_and(has_choice, ci % 16 == 15)
+
+        @pl.when(do_flush)
+        def _():
+            cho_ref[pl.ds(ci // 16, 1)] = cword[None]
+
+        cword = jnp.where(do_flush, 0, cword)
+        ci = ci + has_choice.astype(jnp.int32)
+        return cword, ci
+
+    cword0 = jnp.zeros_like(boxes_ref[0, 0], jnp.int32)
+    cword, n_choices = lax.fori_loop(0, T, fwd, (cword0, jnp.int32(0)))
+    # Flush the trailing partial choice word.
+    @pl.when(n_choices % 16 != 0)
+    def _():
+        cho_ref[pl.ds(n_choices // 16, 1)] = cword[None]
+
+    # ---- classification ----------------------------------------------------
+    rlo = regs_ref[pl.ds(res, 1), 0][0]
+    rhi = regs_ref[pl.ds(res, 1), 1][0]
+    empty = rlo > 0.0
+    filled = rhi < 0.0
+    status = jnp.where(empty, ST_EMPTY,
+                       jnp.where(filled, ST_FILLED, ST_AMBIG))
+    status_ref[0] = status
+    amb = status == ST_AMBIG
+
+    # ---- backward mark-and-sweep shorten pass ------------------------------
+    # (mirrors /root/reference/src/context.cu:319-459, vectorized over lanes;
+    # non-ambiguous lanes produce garbage codes that are never consumed)
+    def clear_act(s, _):
+        act_ref[pl.ds(s, 1)] = cword0[None]
+        return 0
+    lax.fori_loop(0, SLOT_CAP, clear_act, 0)
+    act_ref[pl.ds(res, 1)] = amb.astype(jnp.int32)[None]
+
+    def bwd(i, carry):
+        ci, kword = carry
+        t = T - 1 - i
+        w = words_ref[t]
+        op = w & 0xFF
+        out = (w >> 8) & 0xFF
+        lhs = (w >> 16) & 0xFF
+        rhs = (w >> 24) & 0xFF
+        has_choice = jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI)
+        ci = ci - has_choice.astype(jnp.int32)
+
+        active_out = act_ref[pl.ds(out, 1)][0]      # (8, LB8) int32
+
+        cw = cho_ref[pl.ds(ci // 16, 1)][0]
+        choice = (cw >> (2 * (ci % 16))) & 3
+        choice = jnp.where(has_choice, choice, 0)
+        is_act = active_out != 0
+
+        # code per lane
+        keep_both = choice == 0
+        ch_lhs = choice == 1
+        ch_rhs = choice == 2
+        rhs_is_reg = rhs != 0
+        # elision: copy would be in-place
+        elide = (ch_lhs & (lhs == out)) | (ch_rhs & rhs_is_reg & (rhs == out))
+        code = jnp.where(keep_both, CODE_KEEP,
+                 jnp.where(ch_lhs, CODE_COPY_LHS,
+                   jnp.where(rhs_is_reg, CODE_COPY_RHS, CODE_COPY_IMM)))
+        code = jnp.where(elide, CODE_DROP, code)
+        code = jnp.where(is_act, code, CODE_DROP)
+
+        # mark operands active (only where this clause is active)
+        mark_lhs = is_act & (keep_both | ch_lhs)
+        mark_rhs = is_act & (keep_both | (ch_rhs & rhs_is_reg))
+        # clear out flag first (it may be re-marked if lhs/rhs == out)
+        act_ref[pl.ds(out, 1)] = jnp.where(is_act, 0, active_out)[None]
+        a_l = act_ref[pl.ds(lhs, 1)][0]
+        act_ref[pl.ds(lhs, 1)] = jnp.where(
+            mark_lhs & (lhs != 0), 1, a_l)[None]
+        a_r = act_ref[pl.ds(rhs, 1)][0]
+        act_ref[pl.ds(rhs, 1)] = jnp.where(
+            mark_rhs, 1, a_r)[None]
+
+        # pack 4-bit code (nibble t%8 of word t//8)
+        kword = kword | (code << (4 * (t % 8)))
+
+        @pl.when(t % 8 == 0)
+        def _():
+            codes_ref[0, pl.ds(t // 8, 1)] = kword[None]
+
+        kword = jnp.where(t % 8 == 0, 0, kword)
+        return ci, kword
+
+    lax.fori_loop(0, T, bwd, (n_choices, cword0))
+
+
+@functools.partial(jax.jit, static_argnames=("s_cap", "block_lanes"))
+def interval_shorten(meta: jnp.ndarray, words: jnp.ndarray,
+                     imms: jnp.ndarray, boxes: jnp.ndarray,
+                     s_cap: int = SLOT_CAP, block_lanes: int = 512):
+    """Run kernel A over `lanes` tiles with one shared tape.
+
+    Grid iterates over lane blocks of `block_lanes` tiles so VMEM stays
+    bounded at any image size.
+
+    Args:
+      meta: (8,) int32 [T, S, result_slot, sx, sy, sz, 0, 0]
+      words: (Tcap,) int32; imms: (Tcap,) f32 tape planes
+      boxes: (6, lanes) f32 — xl xh yl yh zl zh per tile
+
+    Returns:
+      status: (lanes,) int32; codes_packed: (lanes, Tcap//8) int32
+    """
+    tcap = words.shape[0]
+    lanes = boxes.shape[1]
+    lb = min(block_lanes, max(256, lanes))
+    nb = -(-lanes // lb)
+    lb8 = lb // 8
+    if lanes < nb * lb:
+        boxes = jnp.pad(boxes, ((0, 0), (0, nb * lb - lanes)))
+    boxes_r = boxes.reshape(6, nb, 8, lb8).transpose(1, 0, 2, 3)
+    cw = max(tcap // 16, 1)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, 6, 8, lb8), lambda b, *_: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 8, lb8), lambda b, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tcap // 8, 8, lb8),
+                                lambda b, *_: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((s_cap, 2, 8, lb8), jnp.float32),
+            pltpu.VMEM((s_cap, 8, lb8), jnp.int32),
+            pltpu.VMEM((cw, 8, lb8), jnp.int32),
+        ],
+    )
+    status, codes = pl.pallas_call(
+        _interval_shorten_kernel,
+        out_shape=(jax.ShapeDtypeStruct((nb, 8, lb8), jnp.int32),
+                   jax.ShapeDtypeStruct((nb, tcap // 8, 8, lb8), jnp.int32)),
+        grid_spec=grid,
+        interpret=_on_cpu(),
+    )(meta, words, imms, boxes_r)
+    status = status.reshape(nb * lb)[:lanes]
+    # (nb, T/8, 8, lb8) -> (lanes, T/8)
+    codes = codes.reshape(nb, tcap // 8, lb).transpose(0, 2, 1)
+    codes = codes.reshape(nb * lb, tcap // 8)[:lanes]
+    return status, codes
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: grouped pixel evaluation (per-group tape in SMEM)
+# ---------------------------------------------------------------------------
+
+def _float_branch_list():
+    return [
+        lambda a, b, imm: a * 0.0,                  # INVALID
+        lambda a, b, imm: a * 0.0,                  # JUMP
+        lambda a, b, imm: a * a,
+        lambda a, b, imm: jnp.sqrt(a),
+        lambda a, b, imm: -a,
+        lambda a, b, imm: jnp.sin(a),
+        lambda a, b, imm: jnp.cos(a),
+        lambda a, b, imm: tc.asin(a),
+        lambda a, b, imm: tc.acos(a),
+        lambda a, b, imm: tc.atan(a),
+        lambda a, b, imm: jnp.exp(a),
+        lambda a, b, imm: jnp.abs(a),
+        lambda a, b, imm: jnp.log(a),
+        lambda a, b, imm: a + imm,
+        lambda a, b, imm: a + b,
+        lambda a, b, imm: a * imm,
+        lambda a, b, imm: a * b,
+        lambda a, b, imm: jnp.minimum(a, imm),
+        lambda a, b, imm: jnp.minimum(a, b),
+        lambda a, b, imm: jnp.maximum(a, imm),
+        lambda a, b, imm: jnp.maximum(a, b),
+        lambda a, b, imm: a - imm,
+        lambda a, b, imm: imm - b,
+        lambda a, b, imm: a - b,
+        lambda a, b, imm: a / imm,
+        lambda a, b, imm: imm / b,
+        lambda a, b, imm: a / b,
+        lambda a, b, imm: jnp.full_like(a, imm),
+        lambda a, b, imm: a,
+        lambda a, b, imm: b,
+    ]
+
+
+def _pixel_eval_kernel(
+        # scalar prefetch
+        nmeta_ref,     # (8,) int32: [n_groups, S, result_slot, sx, sy, sz,.]
+        order_ref,     # (Gcap,) int32 tile index per group (for index_map)
+        lens_ref,      # (Gcap,) int32 shortened tape length per TILE index
+        # inputs (blocked per group)
+        tape_ref,      # (1, 1, cap) int32 in SMEM: clause words
+        timm_ref,      # (1, 1, cap) f32 in SMEM: immediates
+        coords_ref,    # (1, 3, 8, P8) f32 pixel x/y/z
+        # output
+        vals_ref,      # (1, 8, P8) f32
+        # scratch
+        regs_ref,      # (S_cap, 8, P8) f32
+):
+    branches = _float_branch_list()
+    g = pl.program_id(0)
+    n_groups = nmeta_ref[0]
+    res = nmeta_ref[2]
+    sx, sy, sz = nmeta_ref[3], nmeta_ref[4], nmeta_ref[5]
+
+    @pl.when(g < n_groups)
+    def _():
+        zero_v = jnp.zeros_like(coords_ref[0, 0])
+        regs_ref[pl.ds(sx, 1)] = coords_ref[0, 0][None]
+        regs_ref[pl.ds(sy, 1)] = coords_ref[0, 1][None]
+        regs_ref[pl.ds(sz, 1)] = coords_ref[0, 2][None]
+        regs_ref[0] = zero_v  # slot 0: the "no operand" sentinel
+
+        tile = order_ref[g]
+        n = lens_ref[tile]
+
+        def body(t, _):
+            w = tape_ref[0, 0, t]
+            op = w & 0xFF
+            out = (w >> 8) & 0xFF
+            lhs = (w >> 16) & 0xFF
+            rhs = (w >> 24) & 0xFF
+            imm = timm_ref[0, 0, t]
+            a = regs_ref[pl.ds(lhs, 1)][0]
+            b = regs_ref[pl.ds(rhs, 1)][0]
+            r = lax.switch(op, branches, a, b, imm)
+            regs_ref[pl.ds(out, 1)] = r[None]
+            return 0
+
+        lax.fori_loop(0, n, body, 0)
+        vals_ref[0] = regs_ref[pl.ds(res, 1)][0]
+
+
+@functools.partial(jax.jit, static_argnames=("s_cap",))
+def pixel_eval(nmeta: jnp.ndarray, order: jnp.ndarray, lens: jnp.ndarray,
+               tape_words: jnp.ndarray, tape_imms: jnp.ndarray,
+               coords: jnp.ndarray, s_cap: int = SLOT_CAP):
+    """Kernel B: evaluate each group's pixels with its own tape.
+
+    Args:
+      nmeta: (8,) int32 [n_groups, S, result_slot, sx, sy, sz, 0, 0]
+      order: (Gcap,) int32 — tile index for each group slot
+      lens: (n_tiles,) int32 — per-TILE tape length
+      tape_words: (n_tiles, cap) int32; tape_imms: (n_tiles, cap) f32
+      coords: (n_tiles, 3, P) f32 — pixel coordinates per tile
+
+    Returns:
+      vals: (Gcap, P) f32 — per-group pixel values (garbage for g >=
+      n_groups).
+    """
+    gcap = order.shape[0]
+    n_tiles, cap = tape_words.shape
+    P = coords.shape[2]
+    p8 = P // 8
+    coords_r = coords.reshape(n_tiles, 3, 8, p8)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gcap,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cap),
+                         lambda g, nmeta, order, lens: (order[g], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cap),
+                         lambda g, nmeta, order, lens: (order[g], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, 8, p8),
+                         lambda g, nmeta, order, lens: (order[g], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, p8),
+                               lambda g, nmeta, order, lens: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((s_cap, 8, p8), jnp.float32)],
+    )
+    vals = pl.pallas_call(
+        _pixel_eval_kernel,
+        out_shape=jax.ShapeDtypeStruct((gcap, 8, p8), jnp.float32),
+        grid_spec=grid,
+        interpret=_on_cpu(),
+    )(nmeta, order, lens, tape_words[:, None, :], tape_imms[:, None, :], coords_r)
+    return vals.reshape(gcap, P)

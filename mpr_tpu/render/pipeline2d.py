@@ -1,0 +1,200 @@
+"""Staged 2D render pipeline (Alg 3 of the paper, TPU-shaped).
+
+The reference's ``Context::render2D`` (/root/reference/src/context.cu:
+1136-1280) runs 64px -> 8px -> pixel stages with a blocking host readback of
+the active-tile count between stages.  The TPU pipeline is fully on-device
+with static shapes:
+
+  1. kernel A (ops/kernels.py::interval_shorten): interval-evaluate all
+     (N/64)^2 64-px tiles against the full tape, classify
+     empty/filled/ambiguous, and emit per-clause shorten codes;
+  2. XLA compaction: top_k turns the code planes into dense per-tile
+     shortened tapes (replaces the reference's atomic subtape arena);
+  3. a stable argsort moves ambiguous tiles to the front (replaces
+     ``assign_next_nodes`` stream compaction + host count readback,
+     /root/reference/src/context.cu:512-551, 1208-1210);
+  4. kernel B (pixel_eval): one grid instance per ambiguous tile evaluates
+     its 64x64 pixels with the tile's shortened tape (4096 VPU lanes);
+  5. scatter composes the final image: filled tiles paint 64x64 blocks
+     (the analog of ``copy_filled_2d`` upsampling, :664-692), ambiguous
+     tiles take their per-pixel signs.
+
+Two levels (64px -> pixels) rather than the reference's three: on TPU the
+pixel stage is grouped by the 64-px parent so each kernel instance owns
+4096 lanes; a middle 8px interval stage would only shrink tapes for
+instance groups too small (64 lanes) to pay for themselves.  See
+docs/perf_notes.md for the measurements behind this.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kernels
+from ..ops.kernels import ST_AMBIG, ST_FILLED
+from ..ops.tape_data import TapeData
+from ..tape.tape import Tape
+from ..tape.opcodes import Op
+from . import camera
+
+TILE = 64
+
+
+def tape_meta(td: TapeData) -> np.ndarray:
+    sx, sy, sz = td.axis_slots
+    return np.asarray([td.length, td.num_slots, td.result_slot,
+                       sx, sy, sz, 0, 0], dtype=np.int32)
+
+
+def _iv_mul_scalar(m, lo, hi):
+    """interval * compile-time-traced scalar."""
+    a, b = m * lo, m * hi
+    return jnp.minimum(a, b), jnp.maximum(a, b)
+
+
+def _tile_boxes_2d(n_side: int, mat, z):
+    """Interval-transform all tile AABBs, like calculate_intervals_2d
+    (/root/reference/src/context.cu:122-159)."""
+    idx = jnp.arange(n_side, dtype=jnp.float32)
+    lo = (idx / n_side - 0.5) * 2.0
+    hi = ((idx + 1.0) / n_side - 0.5) * 2.0
+    # tile t = (ty, tx): x box from tx, y box from ty
+    xl = jnp.tile(lo, n_side)
+    xh = jnp.tile(hi, n_side)
+    yl = jnp.repeat(lo, n_side)
+    yh = jnp.repeat(hi, n_side)
+
+    def affine(r0, r1, r2):
+        al, ah = _iv_mul_scalar(mat[r0, 0], xl, xh)
+        bl, bh = _iv_mul_scalar(mat[r0, 1], yl, yh)
+        return al + bl + mat[r0, 2], ah + bh + mat[r0, 2]
+
+    txl, txh = affine(0, 0, 0)
+    tyl, tyh = affine(1, 0, 0)
+    twl, twh = affine(2, 0, 0)
+    # projective divide (interval): assume w does not span 0 for sane
+    # cameras; fall back to the exact interval division if it does.
+    from ..ops import interval_math as im
+    txl, txh = im.i_div(jnp, txl, txh, twl, twh)
+    tyl, tyh = im.i_div(jnp, tyl, tyh, twl, twh)
+    zf = jnp.full_like(xl, z)
+    return jnp.stack([txl, txh, tyl, tyh, zf, zf])
+
+
+def _pixel_coords_2d(n_side: int, mat, z):
+    """Per-tile pixel-center coordinates after transform, shaped
+    (n_tiles, 3, 4096) with lane k of tile (ty,tx) at pixel
+    (ty*64 + k//64, tx*64 + k%64) — matches calculate_pixels
+    (/root/reference/src/context.cu:764-813)."""
+    size = n_side * TILE
+    k = jnp.arange(TILE * TILE)
+    dy = (k // TILE).astype(jnp.float32)
+    dx = (k % TILE).astype(jnp.float32)
+    t = jnp.arange(n_side, dtype=jnp.float32) * TILE
+    # global pixel coords per (tile_row/col, lane)
+    gx = t[:, None] + dx[None, :]          # (n_side, 4096)
+    gy = t[:, None] + dy[None, :]
+    fx = ((gx + 0.5) / size - 0.5) * 2.0
+    fy = ((gy + 0.5) / size - 0.5) * 2.0
+    # broadcast to full tile grid
+    fx = jnp.tile(fx[None, :, :], (n_side, 1, 1)).reshape(-1, TILE * TILE)
+    fy = jnp.repeat(fy[:, None, :], n_side, axis=1).reshape(-1, TILE * TILE)
+    w = mat[2, 0] * fx + mat[2, 1] * fy + mat[2, 2]
+    x = (mat[0, 0] * fx + mat[0, 1] * fy + mat[0, 2]) / w
+    y = (mat[1, 0] * fx + mat[1, 1] * fy + mat[1, 2]) / w
+    zz = jnp.full_like(x, z)
+    return jnp.stack([x, y, zz], axis=1)   # (n_tiles, 3, 4096)
+
+
+def compact_tapes(codes: jnp.ndarray, words: jnp.ndarray,
+                  imms: jnp.ndarray, length: int,
+                  cap: int):
+    """Turn per-clause 4-bit shorten codes into dense per-tile tapes.
+
+    This is the XLA replacement for the reference's backward-writing into
+    an atomically-allocated subtape arena (/root/reference/src/context.cu:
+    341-458): a top_k over "kept clause" keys compacts each lane's kept
+    clauses, preserving order; COPY rewrites patch the opcode byte.
+
+    Args:
+      codes: (L, Tcap//8) int32 packed 4-bit codes from kernel A
+      words: (Tcap,) int32; imms: (Tcap,) f32 shared source tape
+      length: true clause count (<= Tcap)
+      cap: output capacity per tile
+
+    Returns:
+      (tape_words (L, cap) int32, tape_imms (L, cap) f32, lens (L,) int32)
+    """
+    L, tw = codes.shape
+    tcap = words.shape[0]
+    # unpack nibbles -> (L, Tcap)
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    nib = (codes[:, :, None] >> shifts[None, None, :]) & 15
+    nib = nib.reshape(L, tcap)
+    t_idx = jnp.arange(tcap, dtype=jnp.int32)
+    nib = jnp.where(t_idx[None, :] < length, nib, 0)
+    keep = nib > 0
+    # keys: kept clauses get descending positives in t-order; dropped get
+    # negatives — top_k then yields kept clauses in original order.
+    key = jnp.where(keep, tcap - t_idx, -1 - t_idx)
+    _, idx = jax.lax.top_k(key, cap)                     # (L, cap)
+    valid = jnp.take_along_axis(keep, idx, axis=1)
+    wsel = words[idx]
+    code = jnp.take_along_axis(nib, idx, axis=1)
+    new_op = jnp.where(code == kernels.CODE_KEEP, wsel & 0xFF,
+              jnp.where(code == kernels.CODE_COPY_LHS, int(Op.COPY_LHS),
+               jnp.where(code == kernels.CODE_COPY_RHS, int(Op.COPY_RHS),
+                         int(Op.COPY_IMM))))
+    word = jnp.where(valid, (wsel & ~0xFF) | new_op, 0)
+    imm = jnp.where(valid, imms[idx], 0.0)
+    lens = keep.sum(axis=1).astype(jnp.int32)
+    return word, imm, lens
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
+    n_side = size // TILE
+    n_tiles = n_side * n_side
+    meta = jnp.asarray([td.length, td.num_slots, td.result_slot,
+                        td.axis_slots[0], td.axis_slots[1],
+                        td.axis_slots[2], 0, 0], dtype=jnp.int32)
+    boxes = _tile_boxes_2d(n_side, mat, z)
+    status, codes = kernels.interval_shorten(meta, td.packed, td.imms, boxes)
+
+    tape_words, tape_imms, lens = compact_tapes(
+        codes, td.packed, td.imms, td.length, cap=td.capacity)
+
+    amb = status == ST_AMBIG
+    order = jnp.argsort(jnp.logical_not(amb), stable=True).astype(jnp.int32)
+    n_amb = amb.sum().astype(jnp.int32)
+
+    nmeta = meta.at[0].set(n_amb)
+    coords = _pixel_coords_2d(n_side, mat, z)
+    vals = kernels.pixel_eval(nmeta, order, lens, tape_words,
+                              tape_imms, coords)
+
+    # compose image: scatter per-tile 64x64 blocks in `order` permutation
+    fill_base = (status == ST_FILLED)[order]             # (n_tiles,)
+    g = jnp.arange(n_tiles)
+    pix_fill = vals < 0.0                                # (n_tiles, 4096)
+    use_pix = jnp.logical_and(g < n_amb, amb[order])
+    blocks = jnp.where(use_pix[:, None], pix_fill, fill_base[:, None])
+    img4 = jnp.zeros((n_tiles, TILE * TILE), jnp.bool_)
+    img4 = img4.at[order].set(blocks)
+    img = img4.reshape(n_side, n_side, TILE, TILE).transpose(0, 2, 1, 3)
+    return img.reshape(size, size), status
+
+
+def render2d(tape: Tape, mat=None, z: float = 0.0,
+             size: int = 256) -> np.ndarray:
+    """Render a boolean fill image (row=y up, col=x), like render2D
+    (/root/reference/inc/context.hpp:38-44)."""
+    td = TapeData.from_tape(tape)
+    mat = camera.identity2() if mat is None else np.asarray(mat, np.float32)
+    img, _ = _render2d_jit(td, jnp.asarray(mat), jnp.float32(z), size)
+    return np.asarray(img)

@@ -8,6 +8,8 @@ suite runs anywhere, including the multi-chip sharding tests
 
 import os
 
+# The axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # NOTE: --xla_force_host_platform_device_count=8 is NOT set globally: it
 # slows every XLA CPU compile ~70x.  Sharding tests (test_parallel.py) spawn

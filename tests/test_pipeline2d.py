@@ -1,0 +1,72 @@
+"""Staged 2D pipeline tests: exact parity with the brute/oracle path.
+
+Mirrors the reference's own A/B/C consistency check (brute.cu compares the
+compiled kernel, brute interpreter, and full algorithm —
+/root/reference/benchmark/brute.cu:101-155).
+"""
+
+import numpy as np
+import pytest
+
+from mpr_tpu.frontend import frep, shapes
+from mpr_tpu.tape import compile_tree
+from mpr_tpu import oracle
+from mpr_tpu.render import pipeline2d, camera
+
+
+def oracle_image(tape, size, mat=None, z=0.0):
+    xs = camera.pixel_centers(size)
+    X, Y = np.meshgrid(xs, xs)
+    if mat is not None:
+        w = mat[2, 0] * X + mat[2, 1] * Y + mat[2, 2]
+        Xp = (mat[0, 0] * X + mat[0, 1] * Y + mat[0, 2]) / w
+        Yp = (mat[1, 0] * X + mat[1, 1] * Y + mat[1, 2]) / w
+        X, Y = Xp, Yp
+    return oracle.eval_f(tape, X, Y, np.full_like(X, z)) < 0
+
+
+def test_circle_pipeline_exact():
+    tape = compile_tree(shapes.circle(0.8))
+    img = pipeline2d.render2d(tape, size=256)
+    want = oracle_image(tape, 256)
+    assert np.array_equal(img, want)
+
+
+def test_circle_all_tile_classes():
+    """A small circle leaves empty, filled, and ambiguous 64px tiles."""
+    tape = compile_tree(shapes.circle(0.4))
+    img = pipeline2d.render2d(tape, size=256)
+    want = oracle_image(tape, 256)
+    assert np.array_equal(img, want)
+
+
+@pytest.mark.parametrize("name", ["prospero", "hello_world",
+                                  "involute_gear_2d"])
+def test_models_pipeline_exact(models_dir, name):
+    t = frep.load(str(models_dir / f"{name}.frep"))[0].tree
+    tape = compile_tree(t)
+    img = pipeline2d.render2d(tape, size=256)
+    want = oracle_image(tape, 256)
+    assert np.array_equal(img, want), f"{(img != want).sum()} pixels differ"
+
+
+def test_pipeline_with_camera():
+    """Non-identity homogeneous transform (zoom + rotation)."""
+    t = shapes.circle(0.5, 0.2, 0.1)
+    tape = compile_tree(t)
+    mat = camera.scale2(0.7) @ np.array(
+        [[0.9, -0.2, 0.05], [0.2, 0.9, -0.1], [0, 0, 1]], np.float32)
+    img = pipeline2d.render2d(tape, mat=mat, size=256)
+    want = oracle_image(tape, 256, mat=mat)
+    assert np.array_equal(img, want)
+
+
+def test_pipeline_fully_filled_and_empty():
+    # entire view inside the shape -> all filled, no ambiguous tiles
+    tape = compile_tree(shapes.circle(9.0))
+    img = pipeline2d.render2d(tape, size=128)
+    assert img.all()
+    # entire view outside -> all empty
+    tape2 = compile_tree(shapes.circle(0.9, 9.0, 9.0))
+    img2 = pipeline2d.render2d(tape2, size=128)
+    assert not img2.any()
