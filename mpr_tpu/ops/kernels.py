@@ -60,7 +60,7 @@ CODE_COPY_LHS = 2
 CODE_COPY_RHS = 3
 CODE_COPY_IMM = 4
 
-SLOT_CAP = 128
+SLOT_CAP = 192
 
 
 def _on_cpu() -> bool:
@@ -276,151 +276,183 @@ def _interval_branch_list():
 # Kernel A: interval eval + in-kernel tape shortening (uniform tape)
 # ---------------------------------------------------------------------------
 
-def _interval_shorten_kernel(
-        # scalar prefetch
-        meta_ref,      # (8,) int32: [T, S, result_slot, sx, sy, sz, _, _]
-        words_ref,     # (Tcap,) int32
-        imms_ref,      # (Tcap,) f32
-        # inputs
-        boxes_ref,     # (1, 6, 8, LB8) f32: xl xh yl yh zl zh per lane
-        # outputs
-        status_ref,    # (1, 8, LB8) int32
-        codes_ref,     # (1, Tcap//8, 8, LB8) int32: 4-bit codes, 8 per word
-        # scratch
-        regs_ref,      # (S_cap, 2, 8, LB8) f32 lo/hi register file
-        act_ref,       # (S_cap, 8, LB8) int32 active flags (backward pass)
-        cho_ref,       # (CW, 8, LB8) int32 packed 2-bit choices
-):
-    branches = _interval_branch_list()
-    T = meta_ref[0]
-    res = meta_ref[2]
-    sx, sy, sz = meta_ref[3], meta_ref[4], meta_ref[5]
+def _make_interval_shorten_kernel(branch_ops):
+    """Kernel A with run-level dispatch, specialized to the tape's op set.
 
-    zero_v = jnp.zeros_like(boxes_ref[0, 0])
-    # Axis seeds.  An unused axis has slot 0; those writes land on row 0,
-    # which is re-zeroed right after (slot 0 must read as the [0,0]
-    # "no operand" sentinel, like the reference's never-allocated slot 0).
-    regs_ref[pl.ds(sx, 1), 0] = boxes_ref[0, 0][None]
-    regs_ref[pl.ds(sx, 1), 1] = boxes_ref[0, 1][None]
-    regs_ref[pl.ds(sy, 1), 0] = boxes_ref[0, 2][None]
-    regs_ref[pl.ds(sy, 1), 1] = boxes_ref[0, 3][None]
-    regs_ref[pl.ds(sz, 1), 0] = boxes_ref[0, 4][None]
-    regs_ref[pl.ds(sz, 1), 1] = boxes_ref[0, 5][None]
-    regs_ref[0, 0] = zero_v
-    regs_ref[0, 1] = zero_v
+    ``branch_ops``: static tuple of GPU opcodes; run headers carry
+    branch ids (0 = NOP, i+1 = branch_ops[i]).
+    """
+    all_br = _interval_branch_list()
 
-    # ---- forward interval pass with choice recording ----------------------
-    def fwd(t, carry):
-        cword, ci = carry
-        w = words_ref[t]
-        op = w & 0xFF
-        out = (w >> 8) & 0xFF
-        lhs = (w >> 16) & 0xFF
-        rhs = (w >> 24) & 0xFF
-        imm = imms_ref[t]
-        ab = regs_ref[pl.ds(lhs, 1)][0]     # (2, 8, LB8)
-        bb = regs_ref[pl.ds(rhs, 1)][0]
-        rl, rh, c = lax.switch(op, branches,
-                               ab[0], ab[1], bb[0], bb[1], imm)
-        regs_ref[pl.ds(out, 1), 0] = rl[None]
-        regs_ref[pl.ds(out, 1), 1] = rh[None]
-        has_choice = jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI)
-        cword = jnp.where(has_choice, cword | (c << (2 * (ci % 16))), cword)
-        do_flush = jnp.logical_and(has_choice, ci % 16 == 15)
+    def kernel(
+            # scalar prefetch
+            meta_ref,      # (8,) i32: [T, S, res, sx, sy, sz, n_runs, _]
+            words_ref,     # (Tcap,) int32
+            imms_ref,      # (Tcap,) f32
+            runs_ref,      # (Tcap,) int32: bid | count<<8 (full tape)
+            # inputs
+            boxes_ref,     # (1, 6, 8, LB8) f32: xl xh yl yh zl zh per lane
+            # outputs
+            status_ref,    # (1, 8, LB8) int32
+            codes_ref,     # (1, Tcap//8, 8, LB8) int32: 4-bit codes
+            # scratch
+            regs_ref,      # (S_cap, 2, 8, LB8) f32 lo/hi register file
+            act_ref,       # (S_cap, 8, LB8) int32 active flags
+            cho_ref,       # (CW, 8, LB8) int32 packed 2-bit choices
+    ):
+        T = meta_ref[0]
+        res = meta_ref[2]
+        sx, sy, sz = meta_ref[3], meta_ref[4], meta_ref[5]
+        n_runs = meta_ref[6]
 
-        @pl.when(do_flush)
+        zero_v = jnp.zeros_like(boxes_ref[0, 0])
+        # Axis seeds.  An unused axis has slot 0; those writes land on row
+        # 0, which is re-zeroed right after (slot 0 must read as the [0,0]
+        # "no operand" sentinel, like the reference's never-allocated
+        # slot 0).
+        regs_ref[pl.ds(sx, 1), 0] = boxes_ref[0, 0][None]
+        regs_ref[pl.ds(sx, 1), 1] = boxes_ref[0, 1][None]
+        regs_ref[pl.ds(sy, 1), 0] = boxes_ref[0, 2][None]
+        regs_ref[pl.ds(sy, 1), 1] = boxes_ref[0, 3][None]
+        regs_ref[pl.ds(sz, 1), 0] = boxes_ref[0, 4][None]
+        regs_ref[pl.ds(sz, 1), 1] = boxes_ref[0, 5][None]
+        regs_ref[0, 0] = zero_v
+        regs_ref[0, 1] = zero_v
+
+        # ---- forward interval pass: one dispatch per opcode run ------------
+        def mk_branch(op):
+            f = all_br[op]
+            is_choice = CHOICE_OP_LO <= op <= CHOICE_OP_HI
+
+            def br(t0, cnt, cword, ci):
+                def inner(k, carry):
+                    cword, ci = carry
+                    t = t0 + k
+                    w = words_ref[t]
+                    out = (w >> 8) & 0xFF
+                    lhs = (w >> 16) & 0xFF
+                    rhs = (w >> 24) & 0xFF
+                    ab = regs_ref[pl.ds(lhs, 1)][0]
+                    bb = regs_ref[pl.ds(rhs, 1)][0]
+                    rl, rh, c = f(ab[0], ab[1], bb[0], bb[1], imms_ref[t])
+                    regs_ref[pl.ds(out, 1), 0] = rl[None]
+                    regs_ref[pl.ds(out, 1), 1] = rh[None]
+                    if is_choice:
+                        cword = cword | (c << (2 * (ci % 16)))
+
+                        @pl.when(ci % 16 == 15)
+                        def _():
+                            cho_ref[pl.ds(ci // 16, 1)] = cword[None]
+
+                        cword = jnp.where(ci % 16 == 15, 0, cword)
+                        ci = ci + 1
+                    return cword, ci
+                return lax.fori_loop(0, cnt, inner, (cword, ci))
+            return br
+
+        def nop_br(t0, cnt, cword, ci):
+            return cword, ci
+
+        run_branches = [nop_br] + [mk_branch(o) for o in branch_ops]
+
+        def fwd_run(r, carry):
+            t0, cword, ci = carry
+            hdr = runs_ref[r]
+            bid = hdr & 0xFF
+            cnt = hdr >> 8
+            cword, ci = lax.switch(bid, run_branches, t0, cnt, cword, ci)
+            return t0 + cnt, cword, ci
+
+        cword0 = jnp.zeros_like(boxes_ref[0, 0], jnp.int32)
+        _, cword, n_choices = lax.fori_loop(
+            0, n_runs, fwd_run, (jnp.int32(0), cword0, jnp.int32(0)))
+        # Flush the trailing partial choice word.
+        @pl.when(n_choices % 16 != 0)
         def _():
-            cho_ref[pl.ds(ci // 16, 1)] = cword[None]
+            cho_ref[pl.ds(n_choices // 16, 1)] = cword[None]
 
-        cword = jnp.where(do_flush, 0, cword)
-        ci = ci + has_choice.astype(jnp.int32)
-        return cword, ci
+        # ---- classification ----------------------------------------------------
+        rlo = regs_ref[pl.ds(res, 1), 0][0]
+        rhi = regs_ref[pl.ds(res, 1), 1][0]
+        empty = rlo > 0.0
+        filled = rhi < 0.0
+        status = jnp.where(empty, ST_EMPTY,
+                           jnp.where(filled, ST_FILLED, ST_AMBIG))
+        status_ref[0] = status
+        amb = status == ST_AMBIG
 
-    cword0 = jnp.zeros_like(boxes_ref[0, 0], jnp.int32)
-    cword, n_choices = lax.fori_loop(0, T, fwd, (cword0, jnp.int32(0)))
-    # Flush the trailing partial choice word.
-    @pl.when(n_choices % 16 != 0)
-    def _():
-        cho_ref[pl.ds(n_choices // 16, 1)] = cword[None]
+        # ---- backward mark-and-sweep shorten pass ------------------------------
+        # (mirrors /root/reference/src/context.cu:319-459, vectorized over lanes;
+        # non-ambiguous lanes produce garbage codes that are never consumed)
+        def clear_act(s, _):
+            act_ref[pl.ds(s, 1)] = cword0[None]
+            return 0
+        lax.fori_loop(0, SLOT_CAP, clear_act, 0)
+        act_ref[pl.ds(res, 1)] = amb.astype(jnp.int32)[None]
 
-    # ---- classification ----------------------------------------------------
-    rlo = regs_ref[pl.ds(res, 1), 0][0]
-    rhi = regs_ref[pl.ds(res, 1), 1][0]
-    empty = rlo > 0.0
-    filled = rhi < 0.0
-    status = jnp.where(empty, ST_EMPTY,
-                       jnp.where(filled, ST_FILLED, ST_AMBIG))
-    status_ref[0] = status
-    amb = status == ST_AMBIG
+        def bwd(i, carry):
+            ci, kword = carry
+            t = T - 1 - i
+            w = words_ref[t]
+            op = w & 0xFF
+            out = (w >> 8) & 0xFF
+            lhs = (w >> 16) & 0xFF
+            rhs = (w >> 24) & 0xFF
+            has_choice = jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI)
+            ci = ci - has_choice.astype(jnp.int32)
 
-    # ---- backward mark-and-sweep shorten pass ------------------------------
-    # (mirrors /root/reference/src/context.cu:319-459, vectorized over lanes;
-    # non-ambiguous lanes produce garbage codes that are never consumed)
-    def clear_act(s, _):
-        act_ref[pl.ds(s, 1)] = cword0[None]
-        return 0
-    lax.fori_loop(0, SLOT_CAP, clear_act, 0)
-    act_ref[pl.ds(res, 1)] = amb.astype(jnp.int32)[None]
+            active_out = act_ref[pl.ds(out, 1)][0]      # (8, LB8) int32
 
-    def bwd(i, carry):
-        ci, kword = carry
-        t = T - 1 - i
-        w = words_ref[t]
-        op = w & 0xFF
-        out = (w >> 8) & 0xFF
-        lhs = (w >> 16) & 0xFF
-        rhs = (w >> 24) & 0xFF
-        has_choice = jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI)
-        ci = ci - has_choice.astype(jnp.int32)
+            cw = cho_ref[pl.ds(ci // 16, 1)][0]
+            choice = (cw >> (2 * (ci % 16))) & 3
+            choice = jnp.where(has_choice, choice, 0)
+            is_act = active_out != 0
 
-        active_out = act_ref[pl.ds(out, 1)][0]      # (8, LB8) int32
+            # code per lane
+            keep_both = choice == 0
+            ch_lhs = choice == 1
+            ch_rhs = choice == 2
+            rhs_is_reg = rhs != 0
+            # elision: copy would be in-place
+            elide = (ch_lhs & (lhs == out)) | (ch_rhs & rhs_is_reg & (rhs == out))
+            code = jnp.where(keep_both, CODE_KEEP,
+                     jnp.where(ch_lhs, CODE_COPY_LHS,
+                       jnp.where(rhs_is_reg, CODE_COPY_RHS, CODE_COPY_IMM)))
+            code = jnp.where(elide, CODE_DROP, code)
+            code = jnp.where(is_act, code, CODE_DROP)
 
-        cw = cho_ref[pl.ds(ci // 16, 1)][0]
-        choice = (cw >> (2 * (ci % 16))) & 3
-        choice = jnp.where(has_choice, choice, 0)
-        is_act = active_out != 0
+            # mark operands active (only where this clause is active)
+            mark_lhs = is_act & (keep_both | ch_lhs)
+            mark_rhs = is_act & (keep_both | (ch_rhs & rhs_is_reg))
+            # clear out flag first (it may be re-marked if lhs/rhs == out)
+            act_ref[pl.ds(out, 1)] = jnp.where(is_act, 0, active_out)[None]
+            a_l = act_ref[pl.ds(lhs, 1)][0]
+            act_ref[pl.ds(lhs, 1)] = jnp.where(
+                mark_lhs & (lhs != 0), 1, a_l)[None]
+            a_r = act_ref[pl.ds(rhs, 1)][0]
+            act_ref[pl.ds(rhs, 1)] = jnp.where(
+                mark_rhs, 1, a_r)[None]
 
-        # code per lane
-        keep_both = choice == 0
-        ch_lhs = choice == 1
-        ch_rhs = choice == 2
-        rhs_is_reg = rhs != 0
-        # elision: copy would be in-place
-        elide = (ch_lhs & (lhs == out)) | (ch_rhs & rhs_is_reg & (rhs == out))
-        code = jnp.where(keep_both, CODE_KEEP,
-                 jnp.where(ch_lhs, CODE_COPY_LHS,
-                   jnp.where(rhs_is_reg, CODE_COPY_RHS, CODE_COPY_IMM)))
-        code = jnp.where(elide, CODE_DROP, code)
-        code = jnp.where(is_act, code, CODE_DROP)
+            # pack 4-bit code (nibble t%8 of word t//8)
+            kword = kword | (code << (4 * (t % 8)))
 
-        # mark operands active (only where this clause is active)
-        mark_lhs = is_act & (keep_both | ch_lhs)
-        mark_rhs = is_act & (keep_both | (ch_rhs & rhs_is_reg))
-        # clear out flag first (it may be re-marked if lhs/rhs == out)
-        act_ref[pl.ds(out, 1)] = jnp.where(is_act, 0, active_out)[None]
-        a_l = act_ref[pl.ds(lhs, 1)][0]
-        act_ref[pl.ds(lhs, 1)] = jnp.where(
-            mark_lhs & (lhs != 0), 1, a_l)[None]
-        a_r = act_ref[pl.ds(rhs, 1)][0]
-        act_ref[pl.ds(rhs, 1)] = jnp.where(
-            mark_rhs, 1, a_r)[None]
+            @pl.when(t % 8 == 0)
+            def _():
+                codes_ref[0, pl.ds(t // 8, 1)] = kword[None]
 
-        # pack 4-bit code (nibble t%8 of word t//8)
-        kword = kword | (code << (4 * (t % 8)))
+            kword = jnp.where(t % 8 == 0, 0, kword)
+            return ci, kword
 
-        @pl.when(t % 8 == 0)
-        def _():
-            codes_ref[0, pl.ds(t // 8, 1)] = kword[None]
+        lax.fori_loop(0, T, bwd, (n_choices, cword0))
 
-        kword = jnp.where(t % 8 == 0, 0, kword)
-        return ci, kword
-
-    lax.fori_loop(0, T, bwd, (n_choices, cword0))
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("s_cap", "block_lanes"))
+@functools.partial(jax.jit,
+                   static_argnames=("branch_ops", "s_cap", "block_lanes"))
 def interval_shorten(meta: jnp.ndarray, words: jnp.ndarray,
-                     imms: jnp.ndarray, boxes: jnp.ndarray,
+                     imms: jnp.ndarray, runs: jnp.ndarray,
+                     boxes: jnp.ndarray, branch_ops: tuple = None,
                      s_cap: int = SLOT_CAP, block_lanes: int = 512):
     """Run kernel A over `lanes` tiles with one shared tape.
 
@@ -428,8 +460,10 @@ def interval_shorten(meta: jnp.ndarray, words: jnp.ndarray,
     bounded at any image size.
 
     Args:
-      meta: (8,) int32 [T, S, result_slot, sx, sy, sz, 0, 0]
+      meta: (8,) int32 [T, S, result_slot, sx, sy, sz, n_runs, 0]
       words: (Tcap,) int32; imms: (Tcap,) f32 tape planes
+      runs: (Tcap,) int32 run headers, op byte ALREADY remapped to branch
+        ids matching `branch_ops` (static tuple; see build_remap)
       boxes: (6, lanes) f32 — xl xh yl yh zl zh per tile
 
     Returns:
@@ -446,7 +480,7 @@ def interval_shorten(meta: jnp.ndarray, words: jnp.ndarray,
     cw = max(tcap // 16, 1)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, 6, 8, lb8), lambda b, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -462,12 +496,12 @@ def interval_shorten(meta: jnp.ndarray, words: jnp.ndarray,
         ],
     )
     status, codes = pl.pallas_call(
-        _interval_shorten_kernel,
+        _make_interval_shorten_kernel(branch_ops),
         out_shape=(jax.ShapeDtypeStruct((nb, 8, lb8), jnp.int32),
                    jax.ShapeDtypeStruct((nb, tcap // 8, 8, lb8), jnp.int32)),
         grid_spec=grid,
         interpret=_on_cpu(),
-    )(meta, words, imms, boxes_r)
+    )(meta, words, imms, runs, boxes_r)
     status = status.reshape(nb * lb)[:lanes]
     # (nb, T/8, 8, lb8) -> (lanes, T/8)
     codes = codes.reshape(nb, tcap // 8, lb).transpose(0, 2, 1)
@@ -611,3 +645,467 @@ def pixel_eval(nmeta: jnp.ndarray, order: jnp.ndarray, lens: jnp.ndarray,
         interpret=_on_cpu(),
     )(nmeta, order, lens, tape_words[:, None, :], tape_imms[:, None, :], coords_r)
     return vals.reshape(gcap, P)
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: scalar tape compaction with run headers
+# ---------------------------------------------------------------------------
+#
+# Replaces the XLA top_k compaction (render/pipeline2d.py::compact_tapes,
+# ~13 ms at 1024^2 because XLA sort is slow on TPU) with a scalar SMEM pass:
+# one grid instance per ambiguous tile walks its packed 4-bit code words,
+# skips all-dropped words in one test, and appends kept clauses to an SMEM
+# output tape.  Rewrites preserve opcode runs wherever possible:
+#
+#   choice=LHS on MIN/MAX_LHS_RHS  -> duplicate operand (min(a,a) == a)
+#   choice=LHS on MIN_LHS_IMM      -> imm := +inf   (min(a, inf) == a)
+#   choice=LHS on MAX_LHS_IMM      -> imm := -inf
+#   choice=RHS on MIN/MAX_LHS_RHS  -> lhs := rhs
+#   choice=RHS on *_LHS_IMM        -> COPY_IMM      (only run breaker left)
+#
+# The kernel also emits per-tile run headers (branch_id | count<<8), so the
+# pixel interpreter dispatches once per run instead of once per clause
+# (lax.switch costs ~6 ns per compiled branch per step; docs/perf_notes.md).
+
+_POS_INF_F32 = float(np.float32(np.inf))
+
+
+def _compact_kernel(
+        # scalar prefetch
+        cmeta_ref,    # (8,) int32: [n_groups, n_words, cap, ...]
+        words_ref,    # (Tcap,) int32 shared tape
+        imms_ref,     # (Tcap,) f32
+        order_ref,    # (Gcap,) int32 tile id per group
+        remap_ref,    # (32,) int32 op -> branch id
+        # input
+        codes_ref,    # (1, 1, TW) int32 packed nibbles (blocked by tile)
+        # outputs (SMEM)
+        tw_ref,       # (1, 1, cap) int32
+        ti_ref,       # (1, 1, cap) f32
+        runs_ref,     # (1, 1, rcap) int32: branch_id | count<<8
+        gmeta_ref,    # (1, 1, 8) int32: [len, n_runs, overflow, ...]
+):
+    g = pl.program_id(0)
+    n_groups = cmeta_ref[0]
+    n_words = cmeta_ref[1]
+    cap = cmeta_ref[2]
+
+    @pl.when(g < n_groups)
+    def _():
+        def word_body(w, carry):
+            k, r, cur_bid, run_cnt = carry
+            cw = codes_ref[0, 0, w]
+
+            def nib_body(carry):
+                k, r, cur_bid, run_cnt = carry
+                for j in range(8):
+                    nib = (cw >> (4 * j)) & 15
+                    t = w * 8 + j
+                    word = words_ref[t]
+                    imm = imms_ref[t]
+                    op = word & 0xFF
+                    lhs = (word >> 16) & 0xFF
+                    rhs = (word >> 24) & 0xFF
+                    is_min_imm = op == int(Op.MIN_LHS_IMM)
+                    is_max_imm = op == int(Op.MAX_LHS_IMM)
+                    imm_form = jnp.logical_or(is_min_imm, is_max_imm)
+                    # rewrites (run-preserving; see block comment)
+                    dup_rhs = jnp.logical_and(nib == CODE_COPY_LHS,
+                                              ~imm_form)
+                    take_rhs = nib == CODE_COPY_RHS
+                    inf_imm = jnp.logical_and(nib == CODE_COPY_LHS, imm_form)
+                    to_copy_imm = nib == CODE_COPY_IMM
+                    new_lhs = jnp.where(take_rhs, rhs, lhs)
+                    new_rhs = jnp.where(dup_rhs, lhs,
+                                        jnp.where(take_rhs, rhs, rhs))
+                    new_op = jnp.where(to_copy_imm, int(Op.COPY_IMM), op)
+                    new_imm = jnp.where(
+                        inf_imm,
+                        jnp.where(is_min_imm, _POS_INF_F32, -_POS_INF_F32),
+                        imm)
+                    new_word = (new_op | (word & 0xFF00)
+                                | (new_lhs << 16) | (new_rhs << 24))
+                    bid = remap_ref[new_op]
+
+                    keep = jnp.logical_and(nib != 0, k < cap)
+                    flush = jnp.logical_and(
+                        keep, jnp.logical_and(bid != cur_bid, run_cnt > 0))
+
+                    @pl.when(flush)
+                    def _():
+                        runs_ref[0, 0, r] = cur_bid | (run_cnt << 8)
+
+                    r = r + flush.astype(jnp.int32)
+                    run_cnt = jnp.where(
+                        keep,
+                        jnp.where(bid != cur_bid, 1, run_cnt + 1),
+                        run_cnt)
+                    cur_bid = jnp.where(keep, bid, cur_bid)
+
+                    @pl.when(keep)
+                    def _():
+                        tw_ref[0, 0, k] = new_word
+                        ti_ref[0, 0, k] = new_imm
+
+                    k = k + keep.astype(jnp.int32)
+                return k, r, cur_bid, run_cnt
+
+            return lax.cond(cw != 0, nib_body, lambda c: c,
+                            (k, r, cur_bid, run_cnt))
+
+        k, r, cur_bid, run_cnt = lax.fori_loop(
+            0, n_words, word_body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0)))
+
+        @pl.when(run_cnt > 0)
+        def _():
+            runs_ref[0, 0, r] = cur_bid | (run_cnt << 8)
+
+        n_runs = r + (run_cnt > 0).astype(jnp.int32)
+        gmeta_ref[0, 0, 0] = k
+        gmeta_ref[0, 0, 1] = n_runs
+        # overflow: kernel A counted more kept clauses than cap
+        gmeta_ref[0, 0, 2] = (k >= cap).astype(jnp.int32)
+
+
+def compact_runs(cmeta, words, imms, order, remap, codes,
+                 gcap: int, cap: int, rcap: int):
+    """Run kernel C.  ``codes``: (n_tiles, TW) int32 from kernel A.
+
+    Returns (tape_words (gcap, cap) i32, tape_imms (gcap, cap) f32,
+    runs (gcap, rcap) i32, gmeta (gcap, 8) i32)."""
+    n_tiles, twords = codes.shape
+    codes3 = codes.reshape(n_tiles, 1, twords)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(gcap,),
+        in_specs=[pl.BlockSpec((1, 1, twords),
+                               lambda g, *refs: (refs[3][g], 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 1, cap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rcap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+    )
+    tw, ti, runs, gmeta = pl.pallas_call(
+        _compact_kernel,
+        out_shape=(jax.ShapeDtypeStruct((gcap, 1, cap), jnp.int32),
+                   jax.ShapeDtypeStruct((gcap, 1, cap), jnp.float32),
+                   jax.ShapeDtypeStruct((gcap, 1, rcap), jnp.int32),
+                   jax.ShapeDtypeStruct((gcap, 1, 8), jnp.int32)),
+        grid_spec=grid,
+        interpret=_on_cpu(),
+    )(cmeta, words, imms, order, remap, codes3)
+    return tw[:, 0], ti[:, 0], runs[:, 0], gmeta[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Kernel B v2: run-dispatch pixel evaluation
+# ---------------------------------------------------------------------------
+
+def build_remap(ops_present):
+    """Branch table spec: returns (branch_ops tuple, remap np array (32,)).
+
+    branch id 0 is a NOP; COPY_IMM is always present (shortening can emit
+    it); everything else comes from the tape's static op set."""
+    branch_ops = sorted(set(int(o) for o in ops_present)
+                        | {int(Op.COPY_IMM)} - {0, 1})
+    remap = np.zeros(32, dtype=np.int32)
+    for i, o in enumerate(branch_ops):
+        remap[o] = i + 1
+    return tuple(branch_ops), remap
+
+
+def _make_pixel_run_kernel(branch_ops, s_cap):
+    all_br = _float_branch_list()
+
+    def kernel(nmeta_ref, order_ref, words_ref, imms_ref, runsF_ref,
+               tw_ref, ti_ref, runs_ref, gmeta_ref, coords_ref,
+               vals_ref, regs_ref):
+        g = pl.program_id(0)
+        n_groups = nmeta_ref[0]
+        res = nmeta_ref[2]
+        sx, sy, sz = nmeta_ref[3], nmeta_ref[4], nmeta_ref[5]
+
+        @pl.when(g < n_groups)
+        def _():
+            regs_ref[pl.ds(sx, 1)] = coords_ref[0, 0][None]
+            regs_ref[pl.ds(sy, 1)] = coords_ref[0, 1][None]
+            regs_ref[pl.ds(sz, 1)] = coords_ref[0, 2][None]
+            regs_ref[0] = jnp.zeros_like(coords_ref[0, 0])
+
+            overflow = gmeta_ref[0, 0, 2]
+
+            def interp(run_src, w_src, i_src, n_runs):
+                def outer(r, t0):
+                    hdr = run_src(r)
+                    bid = hdr & 0xFF
+                    cnt = hdr >> 8
+
+                    def mk_branch(f):
+                        def br(t0, cnt):
+                            def inner(k, _):
+                                t = t0 + k
+                                w = w_src(t)
+                                out = (w >> 8) & 0xFF
+                                lhs = (w >> 16) & 0xFF
+                                rhs = (w >> 24) & 0xFF
+                                a = regs_ref[pl.ds(lhs, 1)][0]
+                                b = regs_ref[pl.ds(rhs, 1)][0]
+                                rv = f(a, b, i_src(t))
+                                regs_ref[pl.ds(out, 1)] = rv[None]
+                                return 0
+                            lax.fori_loop(0, cnt, inner, 0)
+                            return 0
+                        return br
+
+                    def nop_branch(t0, cnt):
+                        return 0
+
+                    branches = [nop_branch] + [mk_branch(all_br[o])
+                                               for o in branch_ops]
+                    lax.switch(bid, branches, t0, cnt)
+                    return t0 + cnt
+                lax.fori_loop(0, n_runs, outer, jnp.int32(0))
+
+            @pl.when(overflow == 0)
+            def _():
+                interp(lambda r: runs_ref[0, 0, r],
+                       lambda t: tw_ref[0, 0, t],
+                       lambda t: ti_ref[0, 0, t],
+                       gmeta_ref[0, 0, 1])
+
+            @pl.when(overflow != 0)
+            def _():
+                # rare fallback: tile's shortened tape overflowed `cap`;
+                # interpret the full shared tape (reference behavior: keep
+                # the parent tape, /root/reference/src/context.cu:336-347)
+                interp(lambda r: runsF_ref[r],
+                       lambda t: words_ref[t],
+                       lambda t: imms_ref[t],
+                       nmeta_ref[6])
+
+            vals_ref[0] = regs_ref[pl.ds(res, 1)][0]
+
+    return kernel
+
+
+def pixel_eval_runs(nmeta, order, words, imms, runs_full, remap_ops,
+                    tw, ti, runs, gmeta, coords, s_cap: int):
+    """Kernel B v2.  See _make_pixel_run_kernel.
+
+    nmeta: (8,) [n_groups, S, res, sx, sy, sz, n_runs_full, 0]
+    remap_ops: static tuple of branch ops (from build_remap).
+    tw/ti/runs/gmeta: kernel C outputs.  coords: (n_tiles, 3, P).
+    """
+    gcap, cap = tw.shape
+    rcap = runs.shape[1]
+    n_tiles = coords.shape[0]
+    P = coords.shape[2]
+    p8 = P // 8
+    kernel = _make_pixel_run_kernel(remap_ops, s_cap)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gcap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # words (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # imms (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # runs_full
+            pl.BlockSpec((1, 1, cap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rcap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, 8, p8),
+                         lambda g, nmeta, order: (order[g], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, p8), lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((s_cap, 8, p8), jnp.float32)],
+    )
+    vals = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((gcap, 8, p8), jnp.float32),
+        grid_spec=grid,
+        interpret=_on_cpu(),
+    )(nmeta, order, words, imms, runs_full,
+      tw[:, None, :], ti[:, None, :], runs[:, None, :], gmeta[:, None, :],
+      coords.reshape(n_tiles, 3, 8, p8))
+    return vals.reshape(gcap, P)
+
+
+# ---------------------------------------------------------------------------
+# Kernel C v2: vectorized bit-shift stream compaction
+# ---------------------------------------------------------------------------
+#
+# Stable stream compaction on the VPU: each kept clause must move LEFT by
+# rem[t] = (# dropped clauses before t).  rem is non-decreasing in t, so
+# moving elements by each power of two (LSB-first) never collides: an
+# arriving element only ever lands on a slot whose occupant is junk, moved
+# out this pass, or provably cannot exist (distance-parity argument).
+# Wrapped-around elements from circular rolls are inert because rem[t] <= t.
+# Junk left behind by a move is frozen (rem := 0) and gets overwritten by
+# later arrivals.  13 passes x ~12 vector ops on (8, Tcap/8) planes
+# ~= 2 us/tile, vs ~50 us/tile for the scalar walk it replaces.
+#
+# The same routine then compacts run-boundary records to build the per-tile
+# run headers consumed by the run-dispatch interpreters.
+
+def _roll_flat(x, s, W):
+    """Shift a row-major (8, W)-flattened vector left by s (circular).
+
+    pltpu.roll only accepts non-negative shifts; a left shift by k on an
+    axis of length N is a (circular) roll by N - k."""
+    s = s % (8 * W)
+    if s == 0:
+        return x
+    cs, rs = s % W, s // W
+    p = pltpu.roll(x, (W - cs) % W, axis=1) if cs else x
+    q = pltpu.roll(p, (8 - rs) % 8, axis=0) if rs % 8 else p
+    r = pltpu.roll(p, (8 - rs - 1) % 8, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < W - cs, q, r)
+
+
+def _compact_planes(planes, rem, W, max_bits):
+    """Move planes[i][t] left by rem[t] (binary decomposition, LSB first)."""
+    for k in range(max_bits):
+        s = 1 << k
+        rem_sh = _roll_flat(rem, s, W)
+        arrive = ((rem_sh >> k) & 1) == 1
+        moved_out = ((rem >> k) & 1) == 1
+        planes = [jnp.where(arrive, _roll_flat(p, s, W), p) for p in planes]
+        rem = jnp.where(arrive, rem_sh - s, jnp.where(moved_out, 0, rem))
+    return planes
+
+
+def _prefix_count(mask_i32, W, max_bits):
+    """Inclusive prefix sum of an int32 0/1 plane over the flat order."""
+    cs = mask_i32
+    row = jax.lax.broadcasted_iota(jnp.int32, mask_i32.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, mask_i32.shape, 1)
+    t_idx = row * W + col
+    for k in range(max_bits):
+        s = 1 << k
+        sh = _roll_flat(cs, -s if False else (8 * W - s), W)  # shift right
+        cs = cs + jnp.where(t_idx >= s, sh, 0)
+    return cs
+
+
+def _compact_bitshift_kernel(
+        # scalar prefetch
+        cmeta_ref,    # (8,) int32: [n_groups, cap, rcap, max_bits,...]
+        order_ref,    # (Gcap,) int32
+        lens_ref,     # (n_tiles,) int32 kept count per tile
+        # inputs (blocked per tile, row-major flat (8, W))
+        wrw_ref,      # (1, 8, W) int32 rewritten words (op byte = branch id)
+        irw_ref,      # (1, 8, W) int32 imm bits
+        rem_ref,      # (1, 8, W) int32 move distance (0 for dropped)
+        # outputs (compacted prefixes always fit in row 0 of the
+        # row-major (8, W) plane because len <= cap = W)
+        tw_ref,       # (1, 1, W) int32
+        ti_ref,       # (1, 1, W) int32 (imm bits)
+        runs_ref,     # (1, 1, W) int32 headers bid | count<<8
+        gmeta_ref,    # (1, 1, 8) int32 [len, n_runs, overflow]
+):
+    g = pl.program_id(0)
+    n_groups = cmeta_ref[0]
+    cap = cmeta_ref[1]
+    rcap = cmeta_ref[2]
+
+    @pl.when(g < n_groups)
+    def _():
+        W = wrw_ref.shape[2]
+        max_bits = 13  # static: supports tapes up to 8192 clauses
+
+        w, i_, = wrw_ref[0], irw_ref[0]
+        rem = rem_ref[0]
+        (w, i_) = _compact_planes([w, i_], rem, W, max_bits)
+
+        tile = order_ref[g]
+        n = lens_ref[tile]
+        row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        t_idx = row * W + col
+        valid = t_idx < n
+
+        # ---- run extraction on the compacted op plane ----------------------
+        ops = w & 0xFF
+        prev = _roll_flat(ops, 8 * W - 1, W)   # shift right by 1 (circular)
+        change = jnp.where(valid,
+                           jnp.where(t_idx == 0, 1,
+                                     (ops != prev).astype(jnp.int32)), 0)
+        n_runs = jnp.sum(change)
+        cs = _prefix_count(change, W, max_bits)
+        # compact (start_pos, bid) records of run heads
+        rem2 = jnp.where(change == 1, t_idx - (cs - 1), 0)
+        starts, bids = _compact_planes([t_idx, ops], rem2, W, max_bits)
+        # counts = next start - start (last run ends at n)
+        run_idx = row * W + col
+        next_start = _roll_flat(starts, 1, W)
+        rvalid = run_idx < n_runs
+        last = run_idx == (n_runs - 1)
+        counts = jnp.where(last, n - starts, next_start - starts)
+        headers = jnp.where(rvalid, bids | (counts << 8), 0)
+
+        tw_ref[0, 0] = jnp.where(valid, w, 0)[0]
+        ti_ref[0, 0] = jnp.where(valid, i_, 0)[0]
+        runs_ref[0, 0] = headers[0]
+        gmeta_ref[0, 0, 0] = n
+        gmeta_ref[0, 0, 1] = n_runs
+        gmeta_ref[0, 0, 2] = (n > cap).astype(jnp.int32)
+
+
+def compact_bitshift(cmeta, order, lens, wrw, irw, rem,
+                     gcap: int, cap: int, rcap: int):
+    """Kernel C v2 wrapper.
+
+    wrw/irw/rem: (n_tiles, 8, W) int32 planes from the XLA prepass
+    (pipeline2d._shorten_prepass).  Returns (tw (gcap, W) i32,
+    ti_bits (gcap, W) i32, runs (gcap, W) i32, gmeta (gcap, 8) i32).
+    cap is clamped to W (the compacted prefix must fit row 0).
+    """
+    n_tiles, _, W = wrw.shape
+    assert cap == W and rcap == W, "bitshift compaction requires cap == W"
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gcap,),
+        in_specs=[
+            pl.BlockSpec((1, 8, W), lambda g, c, o, l: (o[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, W), lambda g, c, o, l: (o[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, W), lambda g, c, o, l: (o[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, W), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+    )
+    tw, ti, runs, gmeta = pl.pallas_call(
+        _compact_bitshift_kernel,
+        out_shape=(jax.ShapeDtypeStruct((gcap, 1, W), jnp.int32),
+                   jax.ShapeDtypeStruct((gcap, 1, W), jnp.int32),
+                   jax.ShapeDtypeStruct((gcap, 1, W), jnp.int32),
+                   jax.ShapeDtypeStruct((gcap, 1, 8), jnp.int32)),
+        grid_spec=grid,
+        interpret=_on_cpu(),
+    )(cmeta, order, lens, wrw, irw, rem)
+    return tw[:, 0], ti[:, 0], runs[:, 0], gmeta[:, 0]

@@ -42,27 +42,40 @@ class TapeData:
     """
 
     def __init__(self, packed: jnp.ndarray, imms: jnp.ndarray,
+                 runs: jnp.ndarray,
                  length: int, num_slots: int,
                  axis_slots: Tuple[int, int, int], result_slot: int,
-                 num_choices: int):
+                 num_choices: int, ops_present: Tuple[int, ...] = (),
+                 num_runs: int = 0):
         self.packed = packed
         self.imms = imms
+        # full-tape opcode runs, packed op | count<<8 (see the opruns
+        # scheduling pass in tape/tape.py); used for run-level dispatch
+        self.runs = runs
+        self.num_runs = int(num_runs)
         self.length = int(length)
         self.num_slots = int(num_slots)
         self.axis_slots = tuple(int(a) for a in axis_slots)
         self.result_slot = int(result_slot)
         self.num_choices = int(num_choices)
+        # static: sorted GPU opcodes appearing in the tape; drives
+        # branch-list specialization in the Pallas kernels
+        self.ops_present = tuple(int(o) for o in ops_present)
 
     # -- pytree protocol ------------------------------------------------------
     def tree_flatten(self):
-        return ((self.packed, self.imms),
+        return ((self.packed, self.imms, self.runs),
                 (self.length, self.num_slots, self.axis_slots,
-                 self.result_slot, self.num_choices))
+                 self.result_slot, self.num_choices, self.ops_present,
+                 self.num_runs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        packed, imms = children
-        return cls(packed, imms, *aux)
+        packed, imms, runs = children
+        (length, num_slots, axis_slots, result_slot, num_choices,
+         ops_present, num_runs) = aux
+        return cls(packed, imms, runs, length, num_slots, axis_slots,
+                   result_slot, num_choices, ops_present, num_runs)
 
     # -- constructors ----------------------------------------------------------
     @classmethod
@@ -79,11 +92,22 @@ class TapeData:
                 | (tape.rhss.astype(np.uint32) << 24))
         packed[:n] = word.astype(np.int32)
         imms[:n] = tape.imms
-        return cls(jnp.asarray(packed), jnp.asarray(imms),
+        # full-tape opcode runs (op | count << 8)
+        ops = tape.ops
+        bounds = np.flatnonzero(np.diff(ops)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        rn = starts.shape[0]
+        runs = np.zeros(cap, dtype=np.int32)
+        runs[:rn] = (ops[starts].astype(np.int64)
+                     | ((ends - starts).astype(np.int64) << 8)).astype(np.int32)
+        return cls(jnp.asarray(packed), jnp.asarray(imms), jnp.asarray(runs),
                    length=n, num_slots=tape.num_slots,
                    axis_slots=tape.axis_slots,
                    result_slot=tape.result_slot,
-                   num_choices=tape.num_choices)
+                   num_choices=tape.num_choices,
+                   ops_present=tuple(sorted(set(int(o) for o in tape.ops))),
+                   num_runs=rn)
 
     @property
     def capacity(self) -> int:

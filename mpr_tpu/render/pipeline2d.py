@@ -156,6 +156,60 @@ def compact_tapes(codes: jnp.ndarray, words: jnp.ndarray,
     return word, imm, lens
 
 
+
+
+def _shorten_prepass(codes, words, imms, length, remap):
+    """Vectorized XLA prepass for the bit-shift compaction kernel.
+
+    Unpacks kernel A's 4-bit shorten codes, applies the run-preserving
+    rewrites (see kernels.py kernel C comments), replaces the opcode byte
+    with the kernel branch id, and computes each kept clause's leftward
+    move distance (= dropped clauses before it).
+
+    Returns (wrw, irw, rem) as (L, 8, Tcap/8) int32 planes + lens (L,).
+    """
+    from ..tape.opcodes import Op as _Op
+    L, tw_words = codes.shape
+    tcap = words.shape[0]
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    nib = (codes[:, :, None] >> shifts[None, None, :]) & 15
+    nib = nib.reshape(L, tcap)
+    t_idx = jnp.arange(tcap, dtype=jnp.int32)
+    nib = jnp.where(t_idx[None, :] < length, nib, 0)
+    keep = nib > 0
+
+    word = words[None, :]
+    op = word & 0xFF
+    lhs = (word >> 16) & 0xFF
+    rhs = (word >> 24) & 0xFF
+    is_min_imm = op == int(_Op.MIN_LHS_IMM)
+    is_max_imm = op == int(_Op.MAX_LHS_IMM)
+    imm_form = is_min_imm | is_max_imm
+    dup_rhs = (nib == kernels.CODE_COPY_LHS) & ~imm_form
+    take_rhs = nib == kernels.CODE_COPY_RHS
+    inf_imm = (nib == kernels.CODE_COPY_LHS) & imm_form
+    to_copy_imm = nib == kernels.CODE_COPY_IMM
+    new_lhs = jnp.where(take_rhs, rhs, lhs)
+    new_rhs = jnp.where(dup_rhs, lhs, rhs)
+    new_op = jnp.where(to_copy_imm, int(Op.COPY_IMM), op)
+    bid = remap[new_op]
+    wrw = jnp.where(keep,
+                    bid | (word & 0xFF00) | (new_lhs << 16) | (new_rhs << 24),
+                    0)
+    imm_bits = jax.lax.bitcast_convert_type(imms, jnp.int32)[None, :]
+    pos_inf = jnp.int32(0x7F800000)
+    neg_inf = jnp.int32(np.int32(np.float32(-np.inf).view(np.int32)))
+    new_imm = jnp.where(inf_imm,
+                        jnp.where(is_min_imm, pos_inf, neg_inf), imm_bits)
+    irw = jnp.where(keep, new_imm, 0)
+    incl = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    rem = jnp.where(keep, t_idx[None, :] - (incl - 1), 0)
+    lens = incl[:, -1]
+    w8 = tcap // 8
+    return (wrw.reshape(L, 8, w8), irw.reshape(L, 8, w8),
+            rem.reshape(L, 8, w8), lens)
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
     n_side = size // TILE
@@ -163,20 +217,37 @@ def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
     meta = jnp.asarray([td.length, td.num_slots, td.result_slot,
                         td.axis_slots[0], td.axis_slots[1],
                         td.axis_slots[2], 0, 0], dtype=jnp.int32)
-    boxes = _tile_boxes_2d(n_side, mat, z)
-    status, codes = kernels.interval_shorten(meta, td.packed, td.imms, boxes)
+    branch_ops, remap = kernels.build_remap(td.ops_present)
+    remap_j = jnp.asarray(remap)
+    # full-tape run headers with op byte remapped to branch ids
+    runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
+    meta = meta.at[6].set(td.num_runs)
 
-    tape_words, tape_imms, lens = compact_tapes(
-        codes, td.packed, td.imms, td.length, cap=td.capacity)
+    boxes = _tile_boxes_2d(n_side, mat, z)
+    status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
+                                             runs_full, boxes,
+                                             branch_ops=branch_ops)
 
     amb = status == ST_AMBIG
     order = jnp.argsort(jnp.logical_not(amb), stable=True).astype(jnp.int32)
     n_amb = amb.sum().astype(jnp.int32)
 
+    # vectorized bit-shift compaction -> per-group run-structured tapes
+    cap = td.capacity // 8  # compacted prefix must fit row 0 (= W)
+    wrw, irw, rem, lens = _shorten_prepass(codes, td.packed, td.imms,
+                                           td.length, remap_j)
+    cmeta = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
+                        jnp.int32).at[0].set(n_amb)
+    tw, ti_bits, runs, gmeta = kernels.compact_bitshift(
+        cmeta, order, lens, wrw, irw, rem, gcap=n_tiles, cap=cap, rcap=cap)
+    ti = jax.lax.bitcast_convert_type(ti_bits, jnp.float32)
+
+    s_cap = max(8, -(-td.num_slots // 8) * 8)
     nmeta = meta.at[0].set(n_amb)
     coords = _pixel_coords_2d(n_side, mat, z)
-    vals = kernels.pixel_eval(nmeta, order, lens, tape_words,
-                              tape_imms, coords)
+    vals = kernels.pixel_eval_runs(nmeta, order, td.packed, td.imms,
+                                   runs_full, branch_ops, tw, ti, runs,
+                                   gmeta, coords, s_cap=s_cap)
 
     # compose image: scatter per-tile 64x64 blocks in `order` permutation
     fill_base = (status == ST_FILLED)[order]             # (n_tiles,)

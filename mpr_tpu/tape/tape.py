@@ -29,7 +29,7 @@ import numpy as np
 from ..frontend.tree import Tree, CONSTANT, VAR_X, VAR_Y, VAR_Z, UNARY_OPS
 from .opcodes import Op
 
-SLOT_CAP = 128
+SLOT_CAP = 192
 
 # Frontend op name -> GPU opcode family.
 _UNARY_GPU = {
@@ -119,8 +119,94 @@ class Tape:
         return "\n".join(lines)
 
 
-def compile_tree(tree: Tree) -> Tape:
-    """Compile a ``Tree`` to a ``Tape`` (reference semantics, see module doc)."""
+def _gpu_op_of(c: Tree) -> int:
+    """The GPU opcode this node will compile to (imm-folding aware)."""
+    if c.op in _UNARY_GPU:
+        return int(_UNARY_GPU[c.op])
+    if c.op in _COMMUTATIVE_GPU:
+        imm_form, reg_form = _COMMUTATIVE_GPU[c.op]
+        if c.lhs.op == CONSTANT or c.rhs.op == CONSTANT:
+            return int(imm_form)
+        return int(reg_form)
+    if c.op in _NONCOMMUTATIVE_GPU:
+        lhs_imm, imm_rhs, reg_form = _NONCOMMUTATIVE_GPU[c.op]
+        if c.lhs.op == CONSTANT:
+            return int(imm_rhs)
+        if c.rhs.op == CONSTANT:
+            return int(lhs_imm)
+        return int(reg_form)
+    raise TapeError(f"no GPU op for {c.op!r}")
+
+
+def _schedule_opruns(nodes, window: int = 256):
+    """Reorder clauses into same-opcode runs (dependency-safe, windowed).
+
+    TPU-specific scheduling pass with no reference counterpart: the Pallas
+    interpreter dispatches once per RUN instead of per clause (lax.switch
+    lowers to a linear predicate chain costing ~6 ns per compiled branch per
+    step on v5e — see docs/perf_notes.md).  Greedy list scheduling within a
+    sliding window of the original DFS order: keep emitting ready clauses of
+    the current opcode; when none remain, switch to the opcode with the most
+    ready clauses.  The window bounds register-pressure growth (unbounded
+    greedy scheduling blows past the slot cap on prospero).  Any subsequence
+    of the result is still topologically valid, so runtime tape shortening
+    preserves run contiguity for free.
+    """
+    from collections import deque
+
+    index = {c.id: i for i, c in enumerate(nodes)}
+    n = len(nodes)
+    ndeps = [0] * n
+    consumers = [[] for _ in nodes]
+    for i, c in enumerate(nodes):
+        for h in (c.lhs, c.rhs):
+            if h is not None and h.id in index:
+                ndeps[i] += 1
+                consumers[index[h.id]].append(i)
+    ready = {}
+    inqueue = [False] * n
+    scheduled = [False] * n
+
+    def push(i):
+        if not inqueue[i]:
+            ready.setdefault(_gpu_op_of(nodes[i]), deque()).append(i)
+            inqueue[i] = True
+
+    frontier = 0
+    for i in range(min(window, n)):
+        if ndeps[i] == 0:
+            push(i)
+    out = []
+    cur = None
+    while len(out) < n:
+        q = ready.get(cur)
+        if not q:
+            cur = max((k for k, v in ready.items() if v),
+                      key=lambda k: len(ready[k]))
+            q = ready[cur]
+        i = q.popleft()
+        out.append(nodes[i])
+        scheduled[i] = True
+        for j in consumers[i]:
+            ndeps[j] -= 1
+            if ndeps[j] == 0 and j < frontier + window:
+                push(j)
+        old_f = frontier
+        while frontier < n and scheduled[frontier]:
+            frontier += 1
+        for j in range(old_f + window, min(frontier + window, n)):
+            if ndeps[j] == 0 and not scheduled[j]:
+                push(j)
+    return out
+
+
+def compile_tree(tree: Tree, schedule: str = "opruns") -> Tape:
+    """Compile a ``Tree`` to a ``Tape`` (reference semantics, see module doc).
+
+    ``schedule='opruns'`` (default) reorders clauses into same-opcode runs
+    for the TPU interpreter (see :func:`_schedule_opruns`);
+    ``schedule='dfs'`` keeps the reference's orderedDfs emission order.
+    """
     ordered = tree.ordered_dfs()
 
     # ---- liveness: last consumer of every non-constant node ---------------
@@ -144,10 +230,35 @@ def compile_tree(tree: Tree) -> Tape:
         if op in UNSUPPORTED:
             raise TapeError(f"unimplemented opcode {op!r} in tape compiler "
                             "(parity with /root/reference/src/tape.cpp:182-196)")
+        ordered_fast.append(c)
+
+    if schedule == "opruns":
+        # Windowed scheduling can raise register pressure; back off the
+        # window until the tape fits the slot cap.
+        base = ordered_fast
+        for window in (512, 384, 256, 128, 64, 32, 0):
+            try:
+                reordered = (_schedule_opruns(base, window) if window
+                             else base)
+                return _emit(tree, ordered, reordered, last_used, axes_used)
+            except TapeError:
+                if window == 0:
+                    raise
+        raise AssertionError("unreachable")
+    elif schedule == "dfs":
+        return _emit(tree, ordered, ordered_fast, last_used, axes_used)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+
+
+def _emit(tree, ordered, ordered_fast, last_used, axes_used) -> Tape:
+    """Slot allocation + clause emission for a fixed clause order."""
+    last_used = dict(last_used)
+    # liveness follows the FINAL emission order
+    for c in ordered_fast:
         if c.rhs is not None:
             last_used[c.rhs.id] = c.id
         last_used[c.lhs.id] = c.id
-        ordered_fast.append(c)
 
     # ---- slot allocation ---------------------------------------------------
     free_slots: List[int] = []
@@ -161,8 +272,7 @@ def compile_tree(tree: Tree) -> Tape:
         else:
             if num_slots >= SLOT_CAP:
                 raise TapeError(
-                    f"tape needs more than {SLOT_CAP} slots; the reference "
-                    "would silently overflow its 128-register kernels here")
+                    f"tape needs more than {SLOT_CAP} slots")
             out = num_slots
             num_slots += 1
         bound_slots[node_id] = out

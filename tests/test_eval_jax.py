@@ -81,8 +81,9 @@ def test_grad_wrt_imms():
     td = TapeData.from_tape(tape)
 
     def f(imms):
-        td2 = TapeData(td.packed, imms, td.length, td.num_slots,
-                       td.axis_slots, td.result_slot, td.num_choices)
+        td2 = TapeData(td.packed, imms, td.runs, td.length, td.num_slots,
+                       td.axis_slots, td.result_slot, td.num_choices,
+                       td.ops_present, td.num_runs)
         return eval_scan.eval_f(td2, jnp.float32(0.5), jnp.float32(0.0))
 
     g = np.asarray(jax.grad(lambda m: f(m).sum())(td.imms))

@@ -79,7 +79,8 @@ def test_unsupported_ops_raise():
 def test_models_tape_matches_tree(models_dir, name, rng):
     t = frep.load(str(models_dir / f"{name}.frep"))[0].tree
     tape = compile_tree(t)
-    assert tape.num_slots <= 128
+    from mpr_tpu.tape.tape import SLOT_CAP
+    assert tape.num_slots <= SLOT_CAP
     X, Y, Z = rng.uniform(-1, 1, (3, 4096)).astype(np.float32)
     want = eval_tree_np(t, X, Y, Z)
     got = oracle.eval_f(tape, X, Y, Z)
