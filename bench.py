@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Headline benchmark: prospero 2D @ 1024², staged culling pipeline, one chip.
+
+Mirrors the reference's benchmark protocol (warmup + timed runs, mean frame
+time; /root/reference/benchmark/stats.cpp:19-47) on its headline model/size
+(README.md:109-111: 3.85596 ms on a V100).  Prints ONE JSON line.
+
+vs_baseline = V100 frame time / our frame time (>1 means faster than the
+reference on its own hardware).
+"""
+
+import json
+import sys
+
+BASELINE_MS = 3.85596  # V100, /root/reference/README.md:111
+SIZE = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mpr_tpu.frontend import frep
+    from mpr_tpu.ops.tape_data import TapeData
+    from mpr_tpu.render import camera, pipeline2d
+    from mpr_tpu.tape.tape import compile_tree
+    from mpr_tpu.utils.timing import time_frames
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
+          file=sys.stderr)
+
+    tree = frep.load("/root/reference/benchmark/files/prospero.frep")[0].tree
+    td = TapeData.from_tape(compile_tree(tree))
+    mat = jnp.asarray(camera.identity2())
+    z = jnp.float32(0.0)
+    n_side = SIZE // pipeline2d.TILE
+
+    def frame(mat, td, z):
+        img, _ = pipeline2d.render_tile_block(
+            td, mat, z, SIZE, jnp.int32(0), n_side, jnp.int32(0), n_side)
+        return img
+
+    mean_ms = time_frames(frame, mat, td, z, n=50, n0=5, perturb_arg=0)
+    print(f"mean {mean_ms:.3f} ms/frame", file=sys.stderr)
+    print(json.dumps({
+        "metric": "prospero_2d_1024_frame_ms",
+        "value": round(mean_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / mean_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -286,7 +286,8 @@ def _make_interval_shorten_kernel(branch_ops):
 
     def kernel(
             # scalar prefetch
-            meta_ref,      # (8,) i32: [T, S, res, sx, sy, sz, n_runs, _]
+            meta_ref,      # (8,) i32: [T, S, res, sx, sy, sz, n_runs,
+                           #            n_active_lanes (0 = all)]
             words_ref,     # (Tcap,) int32
             imms_ref,      # (Tcap,) f32
             runs_ref,      # (Tcap,) int32: bid | count<<8 (full tape)
@@ -300,10 +301,18 @@ def _make_interval_shorten_kernel(branch_ops):
             act_ref,       # (S_cap, 8, LB8) int32 active flags
             cho_ref,       # (CW, 8, LB8) int32 packed 2-bit choices
     ):
-        T = meta_ref[0]
+        # Lane-block skip: blocks wholly past the active-lane count zero
+        # their loop bounds (outputs are garbage the caller masks).  Lets
+        # the 3D child stage pay only for real ambiguous parents.
+        n_active = meta_ref[7]
+        b = pl.program_id(0)
+        lb = status_ref.shape[1] * status_ref.shape[2]
+        skip = jnp.logical_and(n_active > 0, b * lb >= n_active)
+
+        T = jnp.where(skip, 0, meta_ref[0])
         res = meta_ref[2]
         sx, sy, sz = meta_ref[3], meta_ref[4], meta_ref[5]
-        n_runs = meta_ref[6]
+        n_runs = jnp.where(skip, 0, meta_ref[6])
 
         zero_v = jnp.zeros_like(boxes_ref[0, 0])
         # Axis seeds.  An unused axis has slot 0; those writes land on row
@@ -387,7 +396,7 @@ def _make_interval_shorten_kernel(branch_ops):
         def clear_act(s, _):
             act_ref[pl.ds(s, 1)] = cword0[None]
             return 0
-        lax.fori_loop(0, SLOT_CAP, clear_act, 0)
+        lax.fori_loop(0, jnp.where(skip, 0, SLOT_CAP), clear_act, 0)
         act_ref[pl.ds(res, 1)] = amb.astype(jnp.int32)[None]
 
         def bwd(i, carry):
@@ -1002,6 +1011,39 @@ def _prefix_count(mask_i32, W, max_bits):
     return cs
 
 
+def _compact_core(w, i_, rem, n, W, max_bits=13):
+    """Compact one tile's (8, W) planes; returns row-0 results.
+
+    Returns (tw_row (W,), ti_row (W,), runs_row (W,), n_runs scalar)."""
+    (w, i_) = _compact_planes([w, i_], rem, W, max_bits)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    t_idx = row * W + col
+    valid = t_idx < n
+
+    # ---- run extraction on the compacted op plane ----------------------
+    ops = w & 0xFF
+    prev = _roll_flat(ops, 8 * W - 1, W)   # shift right by 1 (circular)
+    change = jnp.where(valid,
+                       jnp.where(t_idx == 0, 1,
+                                 (ops != prev).astype(jnp.int32)), 0)
+    n_runs = jnp.sum(change)
+    cs = _prefix_count(change, W, max_bits)
+    # compact (start_pos, bid) records of run heads
+    rem2 = jnp.where(change == 1, t_idx - (cs - 1), 0)
+    starts, bids = _compact_planes([t_idx, ops], rem2, W, max_bits)
+    # counts = next start - start (last run ends at n)
+    run_idx = row * W + col
+    next_start = _roll_flat(starts, 1, W)
+    rvalid = run_idx < n_runs
+    last = run_idx == (n_runs - 1)
+    counts = jnp.where(last, n - starts, next_start - starts)
+    headers = jnp.where(rvalid, bids | (counts << 8), 0)
+    return (jnp.where(valid, w, 0)[0], jnp.where(valid, i_, 0)[0],
+            headers[0], n_runs)
+
+
 def _compact_bitshift_kernel(
         # scalar prefetch
         cmeta_ref,    # (8,) int32: [n_groups, cap, rcap, max_bits,...]
@@ -1021,49 +1063,94 @@ def _compact_bitshift_kernel(
     g = pl.program_id(0)
     n_groups = cmeta_ref[0]
     cap = cmeta_ref[1]
-    rcap = cmeta_ref[2]
 
     @pl.when(g < n_groups)
     def _():
         W = wrw_ref.shape[2]
-        max_bits = 13  # static: supports tapes up to 8192 clauses
-
-        w, i_, = wrw_ref[0], irw_ref[0]
-        rem = rem_ref[0]
-        (w, i_) = _compact_planes([w, i_], rem, W, max_bits)
-
         tile = order_ref[g]
         n = lens_ref[tile]
-        row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-        t_idx = row * W + col
-        valid = t_idx < n
-
-        # ---- run extraction on the compacted op plane ----------------------
-        ops = w & 0xFF
-        prev = _roll_flat(ops, 8 * W - 1, W)   # shift right by 1 (circular)
-        change = jnp.where(valid,
-                           jnp.where(t_idx == 0, 1,
-                                     (ops != prev).astype(jnp.int32)), 0)
-        n_runs = jnp.sum(change)
-        cs = _prefix_count(change, W, max_bits)
-        # compact (start_pos, bid) records of run heads
-        rem2 = jnp.where(change == 1, t_idx - (cs - 1), 0)
-        starts, bids = _compact_planes([t_idx, ops], rem2, W, max_bits)
-        # counts = next start - start (last run ends at n)
-        run_idx = row * W + col
-        next_start = _roll_flat(starts, 1, W)
-        rvalid = run_idx < n_runs
-        last = run_idx == (n_runs - 1)
-        counts = jnp.where(last, n - starts, next_start - starts)
-        headers = jnp.where(rvalid, bids | (counts << 8), 0)
-
-        tw_ref[0, 0] = jnp.where(valid, w, 0)[0]
-        ti_ref[0, 0] = jnp.where(valid, i_, 0)[0]
-        runs_ref[0, 0] = headers[0]
+        tw_row, ti_row, runs_row, n_runs = _compact_core(
+            wrw_ref[0], irw_ref[0], rem_ref[0], n, W)
+        tw_ref[0, 0] = tw_row
+        ti_ref[0, 0] = ti_row
+        runs_ref[0, 0] = runs_row
         gmeta_ref[0, 0, 0] = n
         gmeta_ref[0, 0, 1] = n_runs
         gmeta_ref[0, 0, 2] = (n > cap).astype(jnp.int32)
+
+
+def _make_compact_batched_kernel(tpi: int):
+    """Batched compaction: ``tpi`` pre-ordered tiles per grid instance
+    (amortizes per-instance overhead when thousands of tiles compact, as in
+    the 3D child stage; the 2D path keeps the order-gathering variant)."""
+    def kernel(cmeta_ref, lens_ref, wrw_ref, irw_ref, rem_ref,
+               tw_ref, ti_ref, runs_ref, gmeta_ref):
+        g = pl.program_id(0)
+        n_groups = cmeta_ref[0]
+        cap = cmeta_ref[1]
+        W = wrw_ref.shape[3]
+        for k in range(tpi):
+            slot = g * tpi + k
+
+            @pl.when(slot < n_groups)
+            def _(k=k, slot=slot):
+                n = lens_ref[slot]
+                tw_row, ti_row, runs_row, n_runs = _compact_core(
+                    wrw_ref[0, k], irw_ref[0, k], rem_ref[0, k], n, W)
+                tw_ref[0, k] = tw_row
+                ti_ref[0, k] = ti_row
+                runs_ref[0, k] = runs_row
+                gmeta_ref[0, k, 0] = n
+                gmeta_ref[0, k, 1] = n_runs
+                gmeta_ref[0, k, 2] = (n > cap).astype(jnp.int32)
+    return kernel
+
+
+def compact_bitshift_batched(cmeta, lens, wrw, irw, rem, cap: int,
+                             tpi: int = 16):
+    """Batched kernel C v2 over PRE-ORDERED tiles (no order indirection).
+
+    wrw/irw/rem: (G, 8, W) planes, rows already in processing order; lens
+    aligned.  G must be a multiple of tpi.  Returns (tw (G, W) i32, ti_bits
+    (G, W) i32, runs (G, W) i32, gmeta (G, 8) i32).
+    """
+    G, _, W = wrw.shape
+    assert cap == W and G % tpi == 0
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G // tpi,),
+        in_specs=[
+            pl.BlockSpec((1, tpi, 8, W), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpi, 8, W), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpi, 8, W), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tpi, W), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpi, W), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpi, W), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpi, 8), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+    )
+    tw, ti, runs, gmeta = pl.pallas_call(
+        _make_compact_batched_kernel(tpi),
+        out_shape=(jax.ShapeDtypeStruct((G // tpi, tpi, W), jnp.int32),
+                   jax.ShapeDtypeStruct((G // tpi, tpi, W), jnp.int32),
+                   jax.ShapeDtypeStruct((G // tpi, tpi, W), jnp.int32),
+                   jax.ShapeDtypeStruct((G // tpi, tpi, 8), jnp.int32)),
+        grid_spec=grid,
+        interpret=_on_cpu(),
+    )(cmeta, lens,
+      wrw.reshape(G // tpi, tpi, 8, W), irw.reshape(G // tpi, tpi, 8, W),
+      rem.reshape(G // tpi, tpi, 8, W))
+    return (tw.reshape(G, W), ti.reshape(G, W), runs.reshape(G, W),
+            gmeta.reshape(G, 8))
 
 
 def compact_bitshift(cmeta, order, lens, wrw, irw, rem,

@@ -1,0 +1,168 @@
+"""Multi-chip sharded rendering and training — the TPU-native analog of a
+distributed backend.
+
+The reference is a single-GPU renderer with no inter-device communication
+(SURVEY.md §2.5); scaling the tile/pixel space across chips is new,
+TPU-first design.  Tiles have zero cross-tile data dependence in 2D, so the
+sharding is embarrassingly parallel: a ``(dp, sp)`` device mesh owns a grid
+of rectangular tile blocks (``dp`` shards tile rows, ``sp`` shards tile
+columns), each chip runs the full staged pipeline — interval culling, tape
+shortening, compaction, pixel evaluation — on its own block, and the image
+is reassembled lazily by the output sharding (an ``all_gather`` over ICI
+only if the caller materializes the full image on one host).
+
+Training (fitting tape constants to a target image — the differentiable-
+renderer path the CUDA reference lacks) shards pixels the same way: each
+chip computes the loss and d(loss)/d(imms) on its pixel block through the
+scan interpreter, then a single ``psum`` over the mesh reduces both.  The
+parameter vector (tape immediates) is tiny, so DP-style gradient reduction
+is the whole communication story.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import eval_scan
+from ..ops.tape_data import TapeData
+from ..render import camera
+from ..render.pipeline2d import TILE, render_tile_block
+from ..tape.tape import Tape
+
+
+def _factor2(n: int) -> Tuple[int, int]:
+    """Split n devices into a (dp, sp) grid, dp >= sp, dp divisible by sp
+    when possible (so a dp-sided tile grid shards evenly both ways)."""
+    sp = 1
+    for c in range(int(math.isqrt(n)), 0, -1):
+        if n % c == 0 and (n // c) % c == 0:
+            sp = c
+            break
+    return n // sp, sp
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Tuple[str, str] = ("dp", "sp")) -> Mesh:
+    """Build a 2-axis device mesh over the first ``n_devices`` devices.
+
+    ``dp`` shards tile rows, ``sp`` shards tile columns.  On a real pod
+    slice, lay ``dp`` along the torus's long axis so block gathers ride ICI.
+    """
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    dp, sp = _factor2(n)
+    arr = np.asarray(devs[:n]).reshape(dp, sp)
+    return Mesh(arr, axis_names)
+
+
+def _with_imms(td: TapeData, imms: jnp.ndarray) -> TapeData:
+    """Rebind the differentiable immediate plane (imms is a pytree leaf)."""
+    return TapeData(td.packed, imms, td.runs, td.length, td.num_slots,
+                    td.axis_slots, td.result_slot, td.num_choices,
+                    td.ops_present, td.num_runs)
+
+
+# ---------------------------------------------------------------------------
+# Sharded 2D forward render
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("size", "mesh"))
+def _render2d_sharded_jit(td: TapeData, mat, z, size: int, mesh: Mesh):
+    n_side = size // TILE
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    if n_side % dp or n_side % sp:
+        raise ValueError(f"size {size}: {n_side} tiles/side must divide "
+                         f"mesh ({dp}, {sp})")
+    rows, cols = n_side // dp, n_side // sp
+
+    def local(td, mat, z):
+        r0 = lax.axis_index("dp") * rows
+        c0 = lax.axis_index("sp") * cols
+        img, _ = render_tile_block(td, mat, z, size, r0, rows, c0, cols)
+        return img
+
+    # check_vma=False: pallas_call out_shapes carry no vma annotation
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(), P()),
+                      out_specs=P("dp", "sp"), check_vma=False)
+    return f(td, mat, z)
+
+
+def render2d_sharded(tape: Tape, mat=None, z: float = 0.0, size: int = 256,
+                     mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Sharded equivalent of render/pipeline2d.render2d: each mesh device
+    renders its own tile block with the full culling pipeline."""
+    mesh = make_mesh() if mesh is None else mesh
+    td = TapeData.from_tape(tape)
+    mat = camera.identity2() if mat is None else np.asarray(mat, np.float32)
+    img = _render2d_sharded_jit(td, jnp.asarray(mat), jnp.float32(z),
+                                size, mesh)
+    return np.asarray(img)
+
+
+# ---------------------------------------------------------------------------
+# Sharded differentiable fitting (the "training step")
+# ---------------------------------------------------------------------------
+
+def _block_coords(size, n_rows_px, n_cols_px, mat, z):
+    """Pixel-center coords of this shard's (rows, cols) pixel block."""
+    i = lax.axis_index("dp") * n_rows_px
+    j = lax.axis_index("sp") * n_cols_px
+    py = (i + jnp.arange(n_rows_px, dtype=jnp.float32)[:, None] + 0.5)
+    px = (j + jnp.arange(n_cols_px, dtype=jnp.float32)[None, :] + 0.5)
+    fy = (py / size - 0.5) * 2.0
+    fx = (px / size - 0.5) * 2.0
+    x, y = camera.transform2(mat, fx, fy, jnp)
+    x = jnp.broadcast_to(x, (n_rows_px, n_cols_px))
+    y = jnp.broadcast_to(y, (n_rows_px, n_cols_px))
+    return x, y, jnp.broadcast_to(z, x.shape)
+
+
+def make_fit_step(size: int, mesh: Mesh, lr: float = 1e-2,
+                  sharpness: float = 20.0):
+    """Build a jitted sharded training step for fitting tape constants to a
+    target fill image.
+
+    The forward is a *soft* render — tanh(-f/eps) as the fill probability —
+    through the differentiable scan interpreter (ops/eval_scan.py); the
+    discrete culling pipeline is inference-only, exactly as the reference's
+    Deriv path treats min/max branches discontinuously
+    (/root/reference/inc/gpu_deriv.hpp:106-130).
+
+    Returns step(td, target, mat, z) -> (loss, new_td): pixels sharded
+    (dp, sp), parameters replicated, gradient reduced with one psum.
+    """
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    rows, cols = size // dp, size // sp
+
+    def local_step(td, target_blk, mat, z):
+        x, y, zz = _block_coords(size, rows, cols, mat, z)
+
+        def loss_fn(imms):
+            v = eval_scan.eval_f(_with_imms(td, imms), x, y, zz)
+            soft = jnp.tanh(-sharpness * v) * 0.5 + 0.5
+            return jnp.sum((soft - target_blk) ** 2)
+
+        l, g = jax.value_and_grad(loss_fn)(td.imms)
+        l = lax.psum(l, ("dp", "sp")) / (size * size)
+        g = lax.psum(g, ("dp", "sp")) / (size * size)
+        return l, g
+
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(P(), P("dp", "sp"), P(), P()),
+                            out_specs=(P(), P()), check_vma=False)
+
+    @jax.jit
+    def step(td, target, mat, z):
+        loss, grad = sharded(td, target, mat, z)
+        return loss, _with_imms(td, td.imms - lr * grad)
+
+    return step

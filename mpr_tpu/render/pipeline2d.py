@@ -57,17 +57,28 @@ def _iv_mul_scalar(m, lo, hi):
     return jnp.minimum(a, b), jnp.maximum(a, b)
 
 
-def _tile_boxes_2d(n_side: int, mat, z):
-    """Interval-transform all tile AABBs, like calculate_intervals_2d
-    (/root/reference/src/context.cu:122-159)."""
-    idx = jnp.arange(n_side, dtype=jnp.float32)
-    lo = (idx / n_side - 0.5) * 2.0
-    hi = ((idx + 1.0) / n_side - 0.5) * 2.0
+def _tile_boxes_2d(n_side: int, mat, z, row0=0, n_rows: int = None,
+                   col0=0, n_cols: int = None):
+    """Interval-transform tile AABBs for the tile block
+    [row0, row0+n_rows) x [col0, col0+n_cols), like calculate_intervals_2d
+    (/root/reference/src/context.cu:122-159).  ``row0``/``col0`` may be
+    traced (sharded rendering passes the shard's offsets); the extents must
+    be static."""
+    if n_rows is None:
+        n_rows = n_side
+    if n_cols is None:
+        n_cols = n_side
+    cidx = col0 + jnp.arange(n_cols, dtype=jnp.float32)
+    lo = (cidx / n_side - 0.5) * 2.0
+    hi = ((cidx + 1.0) / n_side - 0.5) * 2.0
+    ridx = row0 + jnp.arange(n_rows, dtype=jnp.float32)
+    rlo = (ridx / n_side - 0.5) * 2.0
+    rhi = ((ridx + 1.0) / n_side - 0.5) * 2.0
     # tile t = (ty, tx): x box from tx, y box from ty
-    xl = jnp.tile(lo, n_side)
-    xh = jnp.tile(hi, n_side)
-    yl = jnp.repeat(lo, n_side)
-    yh = jnp.repeat(hi, n_side)
+    xl = jnp.tile(lo, n_rows)
+    xh = jnp.tile(hi, n_rows)
+    yl = jnp.repeat(rlo, n_cols)
+    yh = jnp.repeat(rhi, n_cols)
 
     def affine(r0, r1, r2):
         al, ah = _iv_mul_scalar(mat[r0, 0], xl, xh)
@@ -86,24 +97,31 @@ def _tile_boxes_2d(n_side: int, mat, z):
     return jnp.stack([txl, txh, tyl, tyh, zf, zf])
 
 
-def _pixel_coords_2d(n_side: int, mat, z):
+def _pixel_coords_2d(n_side: int, mat, z, row0=0, n_rows: int = None,
+                     col0=0, n_cols: int = None):
     """Per-tile pixel-center coordinates after transform, shaped
     (n_tiles, 3, 4096) with lane k of tile (ty,tx) at pixel
     (ty*64 + k//64, tx*64 + k%64) — matches calculate_pixels
-    (/root/reference/src/context.cu:764-813)."""
+    (/root/reference/src/context.cu:764-813).  Covers the tile block
+    [row0, row0+n_rows) x [col0, col0+n_cols)."""
+    if n_rows is None:
+        n_rows = n_side
+    if n_cols is None:
+        n_cols = n_side
     size = n_side * TILE
     k = jnp.arange(TILE * TILE)
     dy = (k // TILE).astype(jnp.float32)
     dx = (k % TILE).astype(jnp.float32)
-    t = jnp.arange(n_side, dtype=jnp.float32) * TILE
+    tc = (col0 + jnp.arange(n_cols, dtype=jnp.float32)) * TILE
+    tr = (row0 + jnp.arange(n_rows, dtype=jnp.float32)) * TILE
     # global pixel coords per (tile_row/col, lane)
-    gx = t[:, None] + dx[None, :]          # (n_side, 4096)
-    gy = t[:, None] + dy[None, :]
+    gx = tc[:, None] + dx[None, :]         # (n_cols, 4096)
+    gy = tr[:, None] + dy[None, :]         # (n_rows, 4096)
     fx = ((gx + 0.5) / size - 0.5) * 2.0
     fy = ((gy + 0.5) / size - 0.5) * 2.0
     # broadcast to full tile grid
-    fx = jnp.tile(fx[None, :, :], (n_side, 1, 1)).reshape(-1, TILE * TILE)
-    fy = jnp.repeat(fy[:, None, :], n_side, axis=1).reshape(-1, TILE * TILE)
+    fx = jnp.tile(fx[None, :, :], (n_rows, 1, 1)).reshape(-1, TILE * TILE)
+    fy = jnp.repeat(fy[:, None, :], n_cols, axis=1).reshape(-1, TILE * TILE)
     w = mat[2, 0] * fx + mat[2, 1] * fy + mat[2, 2]
     x = (mat[0, 0] * fx + mat[0, 1] * fy + mat[0, 2]) / w
     y = (mat[1, 0] * fx + mat[1, 1] * fy + mat[1, 2]) / w
@@ -210,10 +228,20 @@ def _shorten_prepass(codes, words, imms, length, remap):
             rem.reshape(L, 8, w8), lens)
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
+def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
+                      col0=0, n_cols: int = None):
+    """Render the tile block [row0, row0+n_rows) x [col0, col0+n_cols) of a
+    size² image.
+
+    This is the full staged pipeline over one rectangular slab; the sharded
+    renderer (parallel/sharded.py) calls it per shard with the shard's tile
+    offsets, the single-chip path with the whole grid.  Returns
+    (block image (n_rows*64, n_cols*64) bool, status (n_rows*n_cols,) i32).
+    """
     n_side = size // TILE
-    n_tiles = n_side * n_side
+    if n_cols is None:
+        n_cols = n_side
+    n_tiles = n_rows * n_cols
     meta = jnp.asarray([td.length, td.num_slots, td.result_slot,
                         td.axis_slots[0], td.axis_slots[1],
                         td.axis_slots[2], 0, 0], dtype=jnp.int32)
@@ -223,7 +251,7 @@ def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
     meta = meta.at[6].set(td.num_runs)
 
-    boxes = _tile_boxes_2d(n_side, mat, z)
+    boxes = _tile_boxes_2d(n_side, mat, z, row0, n_rows, col0, n_cols)
     status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
                                              runs_full, boxes,
                                              branch_ops=branch_ops)
@@ -244,7 +272,7 @@ def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
 
     s_cap = max(8, -(-td.num_slots // 8) * 8)
     nmeta = meta.at[0].set(n_amb)
-    coords = _pixel_coords_2d(n_side, mat, z)
+    coords = _pixel_coords_2d(n_side, mat, z, row0, n_rows, col0, n_cols)
     vals = kernels.pixel_eval_runs(nmeta, order, td.packed, td.imms,
                                    runs_full, branch_ops, tw, ti, runs,
                                    gmeta, coords, s_cap=s_cap)
@@ -257,8 +285,15 @@ def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
     blocks = jnp.where(use_pix[:, None], pix_fill, fill_base[:, None])
     img4 = jnp.zeros((n_tiles, TILE * TILE), jnp.bool_)
     img4 = img4.at[order].set(blocks)
-    img = img4.reshape(n_side, n_side, TILE, TILE).transpose(0, 2, 1, 3)
-    return img.reshape(size, size), status
+    img = img4.reshape(n_rows, n_cols, TILE, TILE).transpose(0, 2, 1, 3)
+    return img.reshape(n_rows * TILE, n_cols * TILE), status
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
+    n_side = size // TILE
+    return render_tile_block(td, mat, z, size, jnp.int32(0), n_side,
+                             jnp.int32(0), n_side)
 
 
 def render2d(tape: Tape, mat=None, z: float = 0.0,
