@@ -1,0 +1,285 @@
+"""Command-line render & benchmark suite.
+
+The TPU-native analog of the reference's benchmark executables
+(/root/reference/benchmark/CMakeLists.txt:18-32) behind one entry point:
+
+    python -m mpr_tpu.cli render2d FILE.frep --size 1024 --out out.png
+    python -m mpr_tpu.cli render3d FILE.frep --size 512 --mode shaded
+    python -m mpr_tpu.cli table2d FILE.frep            # render_2d_table
+    python -m mpr_tpu.cli table3d FILE.frep            # render_3d_table
+    python -m mpr_tpu.cli brute FILE.frep              # brute 3-way compare
+    python -m mpr_tpu.cli tape-time FILE.frep          # tape_building_time
+    python -m mpr_tpu.cli dump-tape FILE.frep          # print_tape_table
+
+Timing protocol: warmup + timed-runs mean, like benchmark/stats.cpp:19-47,
+via the fori_loop-chained harness (utils/timing.py) because per-call sync
+is unreliable over remote-dispatch tunnels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _load(path: str):
+    from .frontend import frep
+    from .tape.tape import compile_tree
+    shapes = frep.load(path)
+    return compile_tree(shapes[0].tree)
+
+
+def _save(path, img):
+    from .io.png import write_png
+    write_png(path, img)
+    print(f"wrote {path}", file=sys.stderr)
+
+
+def _depth_to_u8(depth, size):
+    return (depth.astype(np.float32) / size * 255.0).astype(np.uint8)
+
+
+def _normals_to_rgb(normals):
+    return ((normals * 127.0) + 128.0).clip(0, 255).astype(np.uint8)
+
+
+def cmd_render2d(args):
+    from .render import pipeline2d, brute
+    tape = _load(args.file)
+    fn = brute.render2d_brute if args.brute else pipeline2d.render2d
+    img = fn(tape, size=args.size)
+    _save(args.out, (img * np.uint8(255)))
+
+
+def cmd_render3d(args):
+    from .render import effects
+    from .render.pipeline3d import render3d
+    from .render import camera
+    tape = _load(args.file)
+    mat = camera.bench3d_view() if args.view == "bench" else (
+        camera.gui3d_view() if args.view == "gui" else camera.identity3())
+    depth, normals = render3d(tape, mat=mat, size=args.size)
+    base = args.out.rsplit(".", 1)[0]
+    if args.mode in ("heightmap", "all"):
+        _save(f"{base}_depth.png", _depth_to_u8(depth, args.size))
+    if args.mode in ("normals", "all"):
+        _save(f"{base}_norm.png", _normals_to_rgb(normals))
+    if args.mode in ("ssao", "all"):
+        occ = np.asarray(effects.draw_ssao(depth, normals))
+        _save(f"{base}_ssao.png", (occ * 255).astype(np.uint8))
+    if args.mode in ("shaded", "all"):
+        img = np.asarray(effects.draw_shaded(depth, normals))
+        _save(f"{base}_shaded.png", (img * 255).astype(np.uint8))
+
+
+def _table(tape, sizes, frame_of_size, stop_ms=None):
+    from .utils.timing import time_frames
+    print(f"{'size':>6} {'mean_ms':>10}")
+    for size in sizes:
+        frame, fargs = frame_of_size(size)
+        ms = time_frames(frame, *fargs, n=args_runs(size), n0=5)
+        print(f"{size:>6} {ms:>10.4f}")
+        if stop_ms and ms > stop_ms:
+            print(f"(stopped: mean > {stop_ms} ms)", file=sys.stderr)
+            break
+
+
+def args_runs(size):
+    return 50 if size <= 1024 else 20
+
+
+def cmd_table2d(args):
+    # sizes per /root/reference/benchmark/render_2d_table.cpp:50
+    import jax.numpy as jnp
+    from .ops.tape_data import TapeData
+    from .render import camera, pipeline2d
+    tape = _load(args.file)
+    td = TapeData.from_tape(tape)
+    mat = jnp.asarray(camera.identity2())
+    z = jnp.float32(0.0)
+
+    def frame_of_size(size):
+        n_side = size // pipeline2d.TILE
+
+        def frame(mat):
+            img, _ = pipeline2d.render_tile_block(
+                td, mat, z, size, jnp.int32(0), n_side, jnp.int32(0), n_side)
+            return img
+        return frame, (mat,)
+
+    sizes = args.sizes or [256, 512, 1024, 2048, 3072, 4096]
+    _table(tape, sizes, frame_of_size)
+
+
+def cmd_table3d(args):
+    # sizes + 750 ms stop per benchmark/render_3d_table.cpp:51,71-73
+    import jax.numpy as jnp
+    from .ops.tape_data import TapeData
+    from .render import camera
+    from .render.pipeline3d import _render3d_jit
+    tape = _load(args.file)
+    td = TapeData.from_tape(tape)
+    mat = jnp.asarray(camera.bench3d_view())
+
+    def frame_of_size(size):
+        def frame(mat):
+            depth, normals, _ = _render3d_jit(td, mat, size, True)
+            return depth
+        return frame, (mat,)
+
+    sizes = args.sizes or [256, 512, 1024, 1536, 2048]
+    _table(tape, sizes, frame_of_size, stop_ms=750.0)
+
+
+def cmd_brute(args):
+    """Three-way consistency + speed comparison, like benchmark/brute.cu:
+    (a) unrolled per-shape XLA kernel, (b) brute interpreter, (c) full
+    culling pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from .ops.tape_data import TapeData
+    from .render import brute, camera, pipeline2d
+    from .utils.timing import time_frames
+    tape = _load(args.file)
+    td = TapeData.from_tape(tape)
+    size = args.size
+    mat = jnp.asarray(camera.identity2())
+    z = jnp.float32(0.0)
+    n_side = size // pipeline2d.TILE
+
+    img_c = pipeline2d.render2d(tape, size=size)
+    img_b = brute.render2d_brute(tape, size=size)
+    agree = (img_c == img_b).mean()
+    print(f"culling vs brute agreement: {agree:.6f}")
+
+    unrolled = brute.build_unrolled_f(tape)
+    p = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size * 2.0 - 1.0
+
+    def frame_a(mat):
+        x, y = camera.transform2(mat, p[None, :], p[:, None], jnp)
+        return unrolled(jnp.broadcast_to(x, (size, size)),
+                        jnp.broadcast_to(y, (size, size))) < 0.0
+
+    def frame_b(mat):
+        from .ops import eval_scan
+        x, y = camera.transform2(mat, p[None, :], p[:, None], jnp)
+        return eval_scan.eval_f(td, jnp.broadcast_to(x, (size, size)),
+                                jnp.broadcast_to(y, (size, size))) < 0.0
+
+    def frame_c(mat):
+        img, _ = pipeline2d.render_tile_block(
+            td, mat, z, size, jnp.int32(0), n_side, jnp.int32(0), n_side)
+        return img
+
+    for name, f in [("unrolled-XLA", frame_a), ("brute-interp", frame_b),
+                    ("full-pipeline", frame_c)]:
+        ms = time_frames(f, mat, n=20, n0=3)
+        print(f"{name:>14}: {ms:9.3f} ms @ {size}")
+
+
+def _heat_png(path, h):
+    h = h / max(h.max(), 1e-9)
+    _save(path, (np.sqrt(h) * 255).astype(np.uint8))
+
+
+def cmd_heatmap2d(args):
+    from .render.heatmap import render2d_heatmap
+    _heat_png(args.out, render2d_heatmap(_load(args.file), size=args.size))
+
+
+def cmd_heatmap3d(args):
+    from .render import camera
+    from .render.heatmap import render3d_heatmap
+    _heat_png(args.out, render3d_heatmap(_load(args.file),
+                                         mat=camera.bench3d_view(),
+                                         size=args.size))
+
+
+def cmd_tape_time(args):
+    # mean tape construction time over 100 builds
+    # (/root/reference/benchmark/tape_building_time.cpp:44-57)
+    from .frontend import frep
+    from .tape.tape import compile_tree
+    shapes = frep.load(args.file)
+    tree = shapes[0].tree
+    compile_tree(tree)
+    t0 = time.perf_counter()
+    for _ in range(100):
+        compile_tree(tree)
+    ms = (time.perf_counter() - t0) / 100 * 1e3
+    print(f"tape build: {ms:.3f} ms mean over 100")
+
+
+def cmd_dump_tape(args):
+    # clause listing, like benchmark/print_tape_table.cpp:44-51
+    tape = _load(args.file)
+    print(tape.pretty(limit=args.limit))
+    print(f"length={tape.length} slots={tape.num_slots} "
+          f"choices={tape.num_choices}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mpr_tpu.cli", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render2d")
+    p.add_argument("file")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--out", default="out_2d.png")
+    p.add_argument("--brute", action="store_true")
+    p.set_defaults(fn=cmd_render2d)
+
+    p = sub.add_parser("render3d")
+    p.add_argument("file")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--out", default="out_3d.png")
+    p.add_argument("--mode", default="all",
+                   choices=["heightmap", "normals", "ssao", "shaded", "all"])
+    p.add_argument("--view", default="bench",
+                   choices=["identity", "bench", "gui"])
+    p.set_defaults(fn=cmd_render3d)
+
+    for name, fn, sizes_default in [("table2d", cmd_table2d, None),
+                                    ("table3d", cmd_table3d, None)]:
+        p = sub.add_parser(name)
+        p.add_argument("file")
+        p.add_argument("--sizes", type=lambda s: [int(x) for x in
+                                                  s.split(",")],
+                       default=sizes_default)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("brute")
+    p.add_argument("file")
+    p.add_argument("--size", type=int, default=1024)
+    p.set_defaults(fn=cmd_brute)
+
+    p = sub.add_parser("heatmap2d")
+    p.add_argument("file")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--out", default="out_heat2d.png")
+    p.set_defaults(fn=cmd_heatmap2d)
+
+    p = sub.add_parser("heatmap3d")
+    p.add_argument("file")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--out", default="out_heat3d.png")
+    p.set_defaults(fn=cmd_heatmap3d)
+
+    p = sub.add_parser("tape-time")
+    p.add_argument("file")
+    p.set_defaults(fn=cmd_tape_time)
+
+    p = sub.add_parser("dump-tape")
+    p.add_argument("file")
+    p.add_argument("--limit", type=int, default=60)
+    p.set_defaults(fn=cmd_dump_tape)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""3D staged pipeline vs the scan-based brute renderer (the oracle-backed
+correctness backstop, mirroring brute.cu's A/B/C consistency check,
+/root/reference/benchmark/brute.cu:101-155)."""
+
+import numpy as np
+import pytest
+
+from mpr_tpu.frontend import shapes, frep
+from mpr_tpu.render import camera
+from mpr_tpu.render.brute import render3d_brute
+from mpr_tpu.render.pipeline3d import render3d
+from mpr_tpu.tape.tape import compile_tree
+
+
+def _check(tree, size, mat=None, tol_px=0.002):
+    tape = compile_tree(tree)
+    depth, normals = render3d(tape, mat=mat, size=size)
+    ref = render3d_brute(tape, mat=mat, size=size)
+    # depth values land within one voxel at tile/sign boundaries; require
+    # exact match on the overwhelming majority of pixels
+    mism = (depth != ref).mean()
+    assert mism <= tol_px, f"depth mismatch fraction {mism}"
+    assert normals.shape == (size, size, 3)
+    # normals unit-length where depth > 0
+    m = depth > 0
+    ln = np.linalg.norm(normals[m], axis=-1)
+    assert np.allclose(ln, 1.0, atol=1e-3)
+    return depth, normals
+
+
+def test_sphere_identity():
+    depth, normals = _check(shapes.sphere(0.6), 128)
+    c = 64
+    assert depth[c, c] > 0 and depth[0, 0] == 0
+    # top-center normal points at the viewer-facing hemisphere boundary:
+    # at screen center the surface normal is +z
+    nc = normals[c, c]
+    assert nc[2] > 0.9
+
+
+def test_two_spheres_rotated():
+    _check(shapes.two_spheres(), 128, mat=camera.gui3d_view())
+
+
+def test_bear(models_dir):
+    tree = frep.load(str(models_dir / "bear.frep"))[0].tree
+    _check(tree, 256, mat=camera.bench3d_view(), tol_px=0.004)
+
+
+def test_gyroid_normals_vs_autodiff():
+    """Normals from the Deriv kernel match jax.grad of the scan
+    interpreter at the same sample points."""
+    import jax
+    import jax.numpy as jnp
+    from mpr_tpu.ops import eval_scan
+    from mpr_tpu.ops.tape_data import TapeData
+
+    tree = shapes.sphere(0.55)
+    tape = compile_tree(tree)
+    size = 128
+    depth, normals = render3d(tape, size=size)
+    td = TapeData.from_tape(tape)
+
+    ys, xs = np.nonzero(depth)
+    sel = np.random.default_rng(0).choice(len(ys), 64, replace=False)
+    ys, xs = ys[sel], xs[sel]
+    zi = np.minimum(depth[ys, xs], size - 1)
+    fx = ((xs + 0.5) / size - 0.5) * 2.0
+    fy = ((ys + 0.5) / size - 0.5) * 2.0
+    fz = ((zi + 0.5) / size - 0.5) * 2.0
+
+    def f(p):
+        return eval_scan.eval_f(td, p[0], p[1], p[2])
+
+    g = jax.vmap(jax.grad(lambda p: f(p).sum()))(
+        jnp.stack([fx, fy, fz], 1).astype(jnp.float32))
+    g = np.array(g)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    assert np.allclose(g, normals[ys, xs], atol=1e-3)
