@@ -200,13 +200,27 @@ def _schedule_opruns(nodes, window: int = 256):
     return out
 
 
-def compile_tree(tree: Tree, schedule: str = "opruns") -> Tape:
+def compile_tree(tree: Tree, schedule: str = "opruns",
+                 backend: str = "auto") -> Tape:
     """Compile a ``Tree`` to a ``Tape`` (reference semantics, see module doc).
 
     ``schedule='opruns'`` (default) reorders clauses into same-opcode runs
     for the TPU interpreter (see :func:`_schedule_opruns`);
     ``schedule='dfs'`` keeps the reference's orderedDfs emission order.
+
+    ``backend='auto'`` uses the native C++ compiler (mpr_tpu/native/) when
+    its shared library is available — bit-identical output, ~50x faster —
+    falling back to this module's pure-Python passes; ``'python'`` forces
+    the fallback, ``'native'`` requires the library.
     """
+    if backend in ("auto", "native"):
+        from ..native import compile_native
+        t = compile_native(tree, schedule)
+        if t is not None:
+            return t
+        if backend == "native":
+            raise RuntimeError("native tape compiler unavailable")
+
     ordered = tree.ordered_dfs()
 
     # ---- liveness: last consumer of every non-constant node ---------------
