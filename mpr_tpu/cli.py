@@ -180,6 +180,78 @@ def cmd_brute(args):
         print(f"{name:>14}: {ms:9.3f} ms @ {size}")
 
 
+def cmd_shorten_stats(args):
+    """Per-tile shortened-tape length distribution at the 64-px stage —
+    the tape_shortening figure data (benchmark/tape_shortening.cpp; that
+    executable ships broken — references a missing .frep — so this is the
+    working equivalent)."""
+    import jax.numpy as jnp
+    from .ops import kernels
+    from .ops.tape_data import TapeData
+    from .render import camera
+    from .render.pipeline2d import (TILE, _shorten_prepass, _tile_boxes_2d,
+                                    tape_meta)
+    tape = _load(args.file)
+    td = TapeData.from_tape(tape)
+    n_side = args.size // TILE
+    meta = jnp.asarray(tape_meta(td)).at[6].set(td.num_runs)
+    branch_ops, remap = kernels.build_remap(td.ops_present)
+    remap_j = jnp.asarray(remap)
+    runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
+    boxes = _tile_boxes_2d(n_side, jnp.asarray(camera.identity2()),
+                           jnp.float32(0.0))
+    status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
+                                             runs_full, boxes,
+                                             branch_ops=branch_ops)
+    _, _, _, lens = _shorten_prepass(codes, td.packed, td.imms,
+                                     td.length, remap_j)
+    status = np.asarray(status)
+    lens = np.asarray(lens)
+    amb = lens[status == kernels.ST_AMBIG]
+    print(f"tape length {tape.length}; tiles {n_side}x{n_side}: "
+          f"empty {(status == 0).sum()} filled {(status == 1).sum()} "
+          f"ambiguous {(status == 2).sum()}")
+    if len(amb):
+        q = np.percentile(amb, [0, 25, 50, 75, 90, 100]).astype(int)
+        print(f"shortened lengths (ambiguous tiles): min {q[0]} p25 {q[1]} "
+              f"median {q[2]} p75 {q[3]} p90 {q[4]} max {q[5]} "
+              f"mean {amb.mean():.1f} ({amb.mean() / tape.length:.1%} "
+              "of full)")
+
+
+def cmd_circle_figure(args):
+    """Stage-decision figure for a circle: colors each pixel by which
+    stage decided it (benchmark/circle.cpp:42-103)."""
+    import jax.numpy as jnp
+    from .frontend import shapes
+    from .ops import kernels
+    from .ops.tape_data import TapeData
+    from .render import camera
+    from .render.pipeline2d import TILE, _tile_boxes_2d, tape_meta, render2d
+    from .tape.tape import compile_tree
+    tape = compile_tree(shapes.circle(0.8))
+    td = TapeData.from_tape(tape)
+    size = args.size
+    n_side = size // TILE
+    meta = jnp.asarray(tape_meta(td)).at[6].set(td.num_runs)
+    branch_ops, remap = kernels.build_remap(td.ops_present)
+    runs_full = jnp.asarray(remap)[td.runs & 0xFF] | (td.runs & ~0xFF)
+    boxes = _tile_boxes_2d(n_side, jnp.asarray(camera.identity2()),
+                           jnp.float32(0.0))
+    status, _ = kernels.interval_shorten(meta, td.packed, td.imms,
+                                         runs_full, boxes,
+                                         branch_ops=branch_ops)
+    status = np.asarray(status).reshape(n_side, n_side)
+    img = render2d(tape, size=size)
+    rgb = np.zeros((size, size, 3), np.uint8)
+    st = np.repeat(np.repeat(status, TILE, 0), TILE, 1)
+    rgb[st == 0] = (40, 40, 40)        # tile-stage empty
+    rgb[st == 1] = (60, 120, 220)      # tile-stage filled
+    rgb[(st == 2) & img] = (240, 160, 40)    # pixel-stage filled
+    rgb[(st == 2) & ~img] = (120, 80, 20)    # pixel-stage empty
+    _save(args.out, rgb)
+
+
 def _heat_png(path, h):
     h = h / max(h.max(), 1e-9)
     _save(path, (np.sqrt(h) * 255).astype(np.uint8))
@@ -255,6 +327,16 @@ def main(argv=None):
     p.add_argument("file")
     p.add_argument("--size", type=int, default=1024)
     p.set_defaults(fn=cmd_brute)
+
+    p = sub.add_parser("shorten-stats")
+    p.add_argument("file")
+    p.add_argument("--size", type=int, default=1024)
+    p.set_defaults(fn=cmd_shorten_stats)
+
+    p = sub.add_parser("circle-figure")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--out", default="out_circle.png")
+    p.set_defaults(fn=cmd_circle_figure)
 
     p = sub.add_parser("heatmap2d")
     p.add_argument("file")

@@ -971,17 +971,18 @@ def pixel_eval_runs(nmeta, order, words, imms, runs_full, remap_ops,
 # run headers consumed by the run-dispatch interpreters.
 
 def _roll_flat(x, s, W):
-    """Shift a row-major (8, W)-flattened vector left by s (circular).
+    """Shift a row-major (R, W)-flattened vector left by s (circular).
 
     pltpu.roll only accepts non-negative shifts; a left shift by k on an
     axis of length N is a (circular) roll by N - k."""
-    s = s % (8 * W)
+    R = x.shape[0]
+    s = s % (R * W)
     if s == 0:
         return x
     cs, rs = s % W, s // W
     p = pltpu.roll(x, (W - cs) % W, axis=1) if cs else x
-    q = pltpu.roll(p, (8 - rs) % 8, axis=0) if rs % 8 else p
-    r = pltpu.roll(p, (8 - rs - 1) % 8, axis=0)
+    q = pltpu.roll(p, (R - rs) % R, axis=0) if rs % R else p
+    r = pltpu.roll(p, (R - rs - 1) % R, axis=0)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(col < W - cs, q, r)
 
@@ -1000,13 +1001,14 @@ def _compact_planes(planes, rem, W, max_bits):
 
 def _prefix_count(mask_i32, W, max_bits):
     """Inclusive prefix sum of an int32 0/1 plane over the flat order."""
+    R = mask_i32.shape[0]
     cs = mask_i32
     row = jax.lax.broadcasted_iota(jnp.int32, mask_i32.shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, mask_i32.shape, 1)
     t_idx = row * W + col
     for k in range(max_bits):
         s = 1 << k
-        sh = _roll_flat(cs, -s if False else (8 * W - s), W)  # shift right
+        sh = _roll_flat(cs, (R * W - s), W)  # shift right by s
         cs = cs + jnp.where(t_idx >= s, sh, 0)
     return cs
 
@@ -1023,8 +1025,9 @@ def _compact_core(w, i_, rem, n, W, max_bits=13):
     valid = t_idx < n
 
     # ---- run extraction on the compacted op plane ----------------------
+    R = w.shape[0]
     ops = w & 0xFF
-    prev = _roll_flat(ops, 8 * W - 1, W)   # shift right by 1 (circular)
+    prev = _roll_flat(ops, R * W - 1, W)   # shift right by 1 (circular)
     change = jnp.where(valid,
                        jnp.where(t_idx == 0, 1,
                                  (ops != prev).astype(jnp.int32)), 0)
@@ -1110,21 +1113,23 @@ def compact_bitshift_batched(cmeta, lens, wrw, irw, rem, cap: int,
                              tpi: int = 16):
     """Batched kernel C v2 over PRE-ORDERED tiles (no order indirection).
 
-    wrw/irw/rem: (G, 8, W) planes, rows already in processing order; lens
-    aligned.  G must be a multiple of tpi.  Returns (tw (G, W) i32, ti_bits
-    (G, W) i32, runs (G, W) i32, gmeta (G, 8) i32).
+    wrw/irw/rem: (G, R, W) planes (R*W = source tape capacity; cap = W so
+    smaller R trades vector-op efficiency for a longer per-tile cap), rows
+    already in processing order; lens aligned.  G must be a multiple of
+    tpi.  Returns (tw (G, W) i32, ti_bits (G, W) i32, runs (G, W) i32,
+    gmeta (G, 8) i32).
     """
-    G, _, W = wrw.shape
+    G, R, W = wrw.shape
     assert cap == W and G % tpi == 0
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G // tpi,),
         in_specs=[
-            pl.BlockSpec((1, tpi, 8, W), lambda g, *_: (g, 0, 0, 0),
+            pl.BlockSpec((1, tpi, R, W), lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tpi, 8, W), lambda g, *_: (g, 0, 0, 0),
+            pl.BlockSpec((1, tpi, R, W), lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tpi, 8, W), lambda g, *_: (g, 0, 0, 0),
+            pl.BlockSpec((1, tpi, R, W), lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -1147,8 +1152,8 @@ def compact_bitshift_batched(cmeta, lens, wrw, irw, rem, cap: int,
         grid_spec=grid,
         interpret=_on_cpu(),
     )(cmeta, lens,
-      wrw.reshape(G // tpi, tpi, 8, W), irw.reshape(G // tpi, tpi, 8, W),
-      rem.reshape(G // tpi, tpi, 8, W))
+      wrw.reshape(G // tpi, tpi, R, W), irw.reshape(G // tpi, tpi, R, W),
+      rem.reshape(G // tpi, tpi, R, W))
     return (tw.reshape(G, W), ti.reshape(G, W), runs.reshape(G, W),
             gmeta.reshape(G, 8))
 

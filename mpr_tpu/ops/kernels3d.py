@@ -97,12 +97,12 @@ def _run_interp(branch_ops, regs_set, regs_get, run_src, w_src, i_src,
 # Voxel evaluation (3D leaf stage)
 # ---------------------------------------------------------------------------
 
-def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side):
+def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side, n_rows):
     all_br = _float_branch_list()
-    size = n_side * 64  # voxels per axis
+    size = n_side * 64  # voxels per axis (full image, not the slab)
 
     def kernel(nmeta_ref,   # (8,) i32 [n_amb1, S, res, sx, sy, sz,
-               #            n_runs_full, 0]
+               #            n_runs_full, row0]
                order_ref,   # (C_CAP,) i32: child slots, amb-first
                order0_ref,  # (P0_CAP,) i32: parent TILE id per parent slot
                matf_ref,    # (16,) f32 mat4 row-major
@@ -117,6 +117,7 @@ def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side):
         n_amb1 = nmeta_ref[0]
         res = nmeta_ref[2]
         sx, sy, sz = nmeta_ref[3], nmeta_ref[4], nmeta_ref[5]
+        row0 = nmeta_ref[7]
 
         l = _iota_plane((8, 512))
         vz = (l // 256).astype(jnp.float32)
@@ -132,10 +133,10 @@ def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side):
                 pslot = child // 64
                 c = child % 64
                 p = order0_ref[pslot]
-                # parent tile id p = (tz * n + ty) * n + tx
+                # slab-local parent id p = (tz * n_rows + ty_l) * n + tx
                 tx = p % n_side
-                ty = (p // n_side) % n_side
-                tz = p // (n_side * n_side)
+                ty = row0 + (p // n_side) % n_rows
+                tz = p // (n_side * n_rows)
                 # child c = (czi * 4 + cyi) * 4 + cxi, 16^3 voxels each
                 cxi = c % 4
                 cyi = (c // 4) % 4
@@ -184,7 +185,7 @@ def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side):
 
 def voxel_eval_3d(nmeta, order, order0, matf, words, imms, runs_full,
                   branch_ops, tw, ti, runs, gmeta,
-                  n_side: int, s_cap: int, cpi: int = 4):
+                  n_side: int, n_rows: int, s_cap: int, cpi: int = 4):
     """Evaluate CPI ambiguous 16³ cells per instance, 4096 voxels each.
 
     tw/ti/runs/gmeta: per-cell tapes from compact_bitshift_batched, rows in
@@ -211,7 +212,7 @@ def voxel_eval_3d(nmeta, order, order0, matf, words, imms, runs_full,
         scratch_shapes=[pltpu.VMEM((s_cap, 8, 512), jnp.float32)],
     )
     vals = pl.pallas_call(
-        _make_voxel_kernel(branch_ops, s_cap, cpi, n_side),
+        _make_voxel_kernel(branch_ops, s_cap, cpi, n_side, n_rows),
         out_shape=jax.ShapeDtypeStruct((gcap // cpi, cpi, 8, 512),
                                        jnp.float32),
         grid_spec=grid,
@@ -348,12 +349,12 @@ def _deriv_branch_list():
     return branches
 
 
-def _make_deriv_kernel(branch_ops, s_cap, n_side):
+def _make_deriv_kernel(branch_ops, s_cap, n_side, n_rows):
     all_br = _deriv_branch_list()
     size = n_side * 64
 
     def kernel(nmeta_ref,   # (8,) i32 [n_tiles_active, S, res, sx, sy, sz,
-               #            n_runs_full, 0]
+               #            n_runs_full, row0]
                order_ref,   # (n2,) i32 xy tile ids, content-first
                matf_ref,    # (16,) f32
                words_ref, imms_ref, runsF_ref,
@@ -368,9 +369,9 @@ def _make_deriv_kernel(branch_ops, s_cap, n_side):
 
         @pl.when(g < n_act)
         def _():
-            t = order_ref[g]
+            t = order_ref[g]           # slab-local xy tile id
             tx = t % n_side
-            ty = t // n_side
+            ty = nmeta_ref[7] + t // n_side
             l = _iota_plane((8, 512))
             px = (l % 64).astype(jnp.float32)
             py = (l // 64).astype(jnp.float32)
@@ -440,7 +441,7 @@ def _make_deriv_kernel(branch_ops, s_cap, n_side):
 
 def deriv_eval_3d(nmeta, order, matf, words, imms, runs_full, branch_ops,
                   tw, ti, runs, gmeta, depth_blocks,
-                  n_side: int, s_cap: int):
+                  n_side: int, n_rows: int, s_cap: int):
     """Normals pass: one instance per content-bearing 64-px screen tile.
 
     depth_blocks: (n², 4096) i32, pixel-major l = py*64 + px, indexed by
@@ -470,7 +471,7 @@ def deriv_eval_3d(nmeta, order, matf, words, imms, runs_full, branch_ops,
         scratch_shapes=[pltpu.VMEM((s_cap, 4, 8, 512), jnp.float32)],
     )
     out = pl.pallas_call(
-        _make_deriv_kernel(branch_ops, s_cap, n_side),
+        _make_deriv_kernel(branch_ops, s_cap, n_side, n_rows),
         out_shape=jax.ShapeDtypeStruct((gcap, 4, 8, 512), jnp.float32),
         grid_spec=grid,
         interpret=_on_cpu(),

@@ -109,6 +109,49 @@ def render2d_sharded(tape: Tape, mat=None, z: float = 0.0, size: int = 256,
 
 
 # ---------------------------------------------------------------------------
+# Sharded 3D forward render
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("size", "mesh", "with_normals"))
+def _render3d_sharded_jit(td: TapeData, mat, size: int, mesh: Mesh,
+                          with_normals: bool = True):
+    from ..render.pipeline3d import render3d_rows
+    n_side = size // TILE
+    nd = mesh.devices.size
+    if n_side % nd:
+        raise ValueError(f"size {size}: {n_side} tile rows must divide "
+                         f"{nd} devices")
+    rows = n_side // nd
+
+    def local(td, mat):
+        r0 = (lax.axis_index("dp") * mesh.shape["sp"]
+              + lax.axis_index("sp")) * rows
+        depth, normals, _ = render3d_rows(td, mat, size, r0, rows,
+                                          with_normals)
+        return depth, normals
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                      out_specs=(P(("dp", "sp"), None),
+                                 P(("dp", "sp"), None, None)),
+                      check_vma=False)
+    return f(td, mat)
+
+
+def render3d_sharded(tape: Tape, mat=None, size: int = 256,
+                     mesh: Optional[Mesh] = None, with_normals=True):
+    """Sharded render3d: each device owns a horizontal slab of screen-tile
+    rows and runs the full 3D pipeline (classification, occlusion, voxel
+    eval, normals) slab-locally."""
+    mesh = make_mesh() if mesh is None else mesh
+    td = TapeData.from_tape(tape)
+    mat = camera.identity3() if mat is None else np.asarray(mat, np.float32)
+    depth, normals = _render3d_sharded_jit(td, jnp.asarray(mat), size,
+                                           mesh, with_normals)
+    return np.asarray(depth), (np.asarray(normals) if with_normals
+                               else None)
+
+
+# ---------------------------------------------------------------------------
 # Sharded differentiable fitting (the "training step")
 # ---------------------------------------------------------------------------
 

@@ -176,7 +176,7 @@ def compact_tapes(codes: jnp.ndarray, words: jnp.ndarray,
 
 
 
-def _shorten_prepass(codes, words, imms, length, remap):
+def _shorten_prepass(codes, words, imms, length, remap, rows: int = 8):
     """Vectorized XLA prepass for the bit-shift compaction kernel.
 
     Unpacks kernel A's 4-bit shorten codes, applies the run-preserving
@@ -184,7 +184,10 @@ def _shorten_prepass(codes, words, imms, length, remap):
     with the kernel branch id, and computes each kept clause's leftward
     move distance (= dropped clauses before it).
 
-    Returns (wrw, irw, rem) as (L, 8, Tcap/8) int32 planes + lens (L,).
+    Returns (wrw, irw, rem) as (L, rows, Tcap/rows) int32 planes + lens
+    (L,).  ``rows`` sets the compacted-tape capacity (= Tcap/rows, the
+    plane's row 0): 8 for 2D (tapes shorten far below Tcap/8), 2 for the
+    3D child stage whose blobby models barely shorten.
     """
     from ..tape.opcodes import Op as _Op
     L, tw_words = codes.shape
@@ -223,9 +226,9 @@ def _shorten_prepass(codes, words, imms, length, remap):
     incl = jnp.cumsum(keep.astype(jnp.int32), axis=1)
     rem = jnp.where(keep, t_idx[None, :] - (incl - 1), 0)
     lens = incl[:, -1]
-    w8 = tcap // 8
-    return (wrw.reshape(L, 8, w8), irw.reshape(L, 8, w8),
-            rem.reshape(L, 8, w8), lens)
+    wr = tcap // rows
+    return (wrw.reshape(L, rows, wr), irw.reshape(L, rows, wr),
+            rem.reshape(L, rows, wr), lens)
 
 
 def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,

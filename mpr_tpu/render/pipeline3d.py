@@ -78,21 +78,29 @@ def _axis_iv(n: int, idx):
     return lo, hi
 
 
-def _tile_boxes_3d(n: int, mat):
-    """Boxes for all n³ 64³ tiles; tile id t = (tz*n + ty)*n + tx."""
-    t = jnp.arange(n * n * n, dtype=jnp.int32)
+def _tile_boxes_3d(n: int, mat, row0=0, n_rows: int = None):
+    """Boxes for the 64³ tiles of screen-tile rows [row0, row0+n_rows);
+    LOCAL tile id t = (tz*n_rows + ty_local)*n + tx."""
+    if n_rows is None:
+        n_rows = n
+    t = jnp.arange(n * n_rows * n, dtype=jnp.int32)
     xl, xh = _axis_iv(n, t % n)
-    yl, yh = _axis_iv(n, (t // n) % n)
-    zl, zh = _axis_iv(n, t // (n * n))
+    yl, yh = _axis_iv(n, row0 + (t // n) % n_rows)
+    zl, zh = _axis_iv(n, t // (n * n_rows))
     return jnp.stack(_mat4_interval(mat, xl, xh, yl, yh, zl, zh))
 
 
-def _child_boxes_3d(n: int, mat, parents):
-    """Boxes for the 64 16³ children of each parent tile id in ``parents``.
+def _child_boxes_3d(n: int, mat, parents, row0=0, n_rows: int = None):
+    """Boxes for the 64 16³ children of each LOCAL parent tile id in
+    ``parents`` (local ids index the slab's (tz, ty_local, tx) grid).
 
     Child lane = pslot*64 + c with c = (czi*4 + cyi)*4 + cxi."""
+    if n_rows is None:
+        n_rows = n
     p = parents
-    tx, ty, tz = p % n, (p // n) % n, p // (n * n)
+    tx = p % n
+    ty = row0 + (p // n) % n_rows
+    tz = p // (n * n_rows)
     c = jnp.arange(64, dtype=jnp.int32)
     cx, cy, cz = c % 4, (c // 4) % 4, c // 16
     gx = (tx[:, None] * 4 + cx[None, :]).reshape(-1)
@@ -104,33 +112,42 @@ def _child_boxes_3d(n: int, mat, parents):
     return jnp.stack(_mat4_interval(mat, xl, xh, yl, yh, zl, zh))
 
 
-def _column_boxes(n: int, mat):
-    """Boxes for n² xy screen tiles with z spanning the full [-1,1]."""
-    t = jnp.arange(n * n, dtype=jnp.int32)
+def _column_boxes(n: int, mat, row0=0, n_rows: int = None):
+    """Boxes for the slab's xy screen tiles, z spanning the full [-1,1]."""
+    if n_rows is None:
+        n_rows = n
+    t = jnp.arange(n_rows * n, dtype=jnp.int32)
     xl, xh = _axis_iv(n, t % n)
-    yl, yh = _axis_iv(n, t // n)
+    yl, yh = _axis_iv(n, row0 + t // n)
     zl = jnp.full_like(xl, -1.0)
     zh = jnp.full_like(xl, 1.0)
     return jnp.stack(_mat4_interval(mat, xl, xh, yl, yh, zl, zh))
 
 
-def _caps(n: int) -> Tuple[int, int]:
+def _caps(n: int, n_rows: int = None) -> Tuple[int, int]:
     """Static capacities for ambiguous 64³ tiles / 16³ cells.
 
     Sized from surface-area scaling: a closed surface crosses O(k²) of the
     k³ cells at granularity k, with a small constant for multi-component /
     high-curvature shapes.  Overflow degrades to missing surface regions
     and warns (see render3d)."""
-    p0 = min(n ** 3, max(64, 8 * n * n))
-    c1 = min(p0 * 64, max(512, 6 * (4 * n) ** 2))
+    if n_rows is None:
+        n_rows = n
+    p0 = min(n * n_rows * n, max(64, 8 * n * n_rows))
+    c1 = min(p0 * 64, max(512, 96 * n * n_rows))
     return p0, c1
 
 
-@functools.partial(jax.jit, static_argnames=("size", "with_normals"))
-def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
+def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
                   with_normals: bool = True):
+    """Render screen-tile rows [row0, row0+n_rows) of a size² 3D frame.
+
+    The sharded renderer calls this per shard (each device owns a
+    horizontal slab; all stages — classification, occlusion, voxel eval,
+    normals — are slab-local because tiles have no cross-tile data
+    dependence); the single-chip path uses the whole grid."""
     n = size // TILE
-    p0_cap, c_cap = _caps(n)
+    p0_cap, c_cap = _caps(n, n_rows)
     s_cap = max(8, -(-td.num_slots // 8) * 8)
     branch_ops, remap = kernels.build_remap(td.ops_present)
     remap_j = jnp.asarray(remap)
@@ -139,30 +156,36 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
                         td.axis_slots[0], td.axis_slots[1],
                         td.axis_slots[2], td.num_runs, 0], dtype=jnp.int32)
     matf = mat.reshape(16)
-    cap = td.capacity // 8
+    # Compaction plane rows = 2 -> per-cell tape cap = Tcap/2: blobby 3D
+    # models (bear: EXP blends, 27 choices in 544 clauses) barely shorten,
+    # and an overflowing cell falls back to the FULL tape — at cap Tcap/8
+    # that fallback dominated the voxel stage (docs/perf_notes.md).
+    rows3 = 2
+    cap = td.capacity // rows3
+    n_tiles0 = n * n_rows * n
 
     # ---- stage A: 64^3 tiles, full tape ---------------------------------
-    boxesA = _tile_boxes_3d(n, mat)
+    boxesA = _tile_boxes_3d(n, mat, row0, n_rows)
     status0, _ = kernels.interval_shorten(meta, td.packed, td.imms,
                                           runs_full, boxesA,
                                           branch_ops=branch_ops)
-    st0 = status0.reshape(n, n, n)                       # [tz, ty, tx]
+    st0 = status0.reshape(n, n_rows, n)                  # [tz, ty_l, tx]
     tz_idx = jnp.arange(n, dtype=jnp.int32)[:, None, None]
     h0 = jnp.max(jnp.where(st0 == ST_FILLED, (tz_idx + 1) * TILE, 0),
-                 axis=0)                                  # (ty, tx)
+                 axis=0)                                  # (ty_l, tx)
 
     # occlusion cull of ambiguous tiles fully at/below the filled height
-    t_all = jnp.arange(n ** 3, dtype=jnp.int32)
-    top0 = (t_all // (n * n) + 1) * TILE
+    t_all = jnp.arange(n_tiles0, dtype=jnp.int32)
+    top0 = (t_all // (n * n_rows) + 1) * TILE
     amb0 = (status0 == ST_AMBIG) & (top0 > h0.reshape(-1)[
-        (t_all // n) % n * n + t_all % n])
+        (t_all // n) % n_rows * n + t_all % n])
     order0 = jnp.argsort(jnp.logical_not(amb0), stable=True)
     order0 = order0[:p0_cap].astype(jnp.int32)
     n_amb0 = jnp.minimum(amb0.sum(), p0_cap).astype(jnp.int32)
 
     # ---- stage B: 16^3 children of ambiguous parents --------------------
     parents = order0
-    boxesB = _child_boxes_3d(n, mat, parents)
+    boxesB = _child_boxes_3d(n, mat, parents, row0, n_rows)
     metaB = meta.at[7].set(n_amb0 * 64)
     status1, codes1 = kernels.interval_shorten(metaB, td.packed, td.imms,
                                                runs_full, boxesB,
@@ -170,16 +193,16 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
     lane = jnp.arange(p0_cap * 64, dtype=jnp.int32)
     status1 = jnp.where(lane < n_amb0 * 64, status1, ST_EMPTY)
 
-    # child global 16-cell coordinates
+    # child 16-cell coordinates (x global, y slab-local)
     p_of = parents[lane // 64]
     c_of = lane % 64
     gx16 = (p_of % n) * 4 + c_of % 4
-    gy16 = ((p_of // n) % n) * 4 + (c_of // 4) % 4
-    gz16 = (p_of // (n * n)) * 4 + c_of // 16
+    gy16 = ((p_of // n) % n_rows) * 4 + (c_of // 4) % 4
+    gz16 = (p_of // (n * n_rows)) * 4 + c_of // 16
     top1 = (gz16 + 1) * 16
 
     # 16-px-granular heightmap: filled parents upsampled + filled children
-    h16 = jnp.repeat(jnp.repeat(h0, 4, 0), 4, 1)          # (4n, 4n)
+    h16 = jnp.repeat(jnp.repeat(h0, 4, 0), 4, 1)          # (4*n_rows, 4n)
     fill1 = status1 == ST_FILLED
     h16 = h16.at[gy16, gx16].max(jnp.where(fill1, top1, 0))
 
@@ -191,7 +214,7 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
     # ---- per-child tapes --------------------------------------------------
     codes_sel = codes1[order1]
     wrw, irw, rem, lens = _shorten_prepass(codes_sel, td.packed, td.imms,
-                                           td.length, remap_j)
+                                           td.length, remap_j, rows=rows3)
     cmeta = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                         jnp.int32).at[0].set(n_amb1)
     tw, ti_bits, runsC, gmetaC = kernels.compact_bitshift_batched(
@@ -199,14 +222,16 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
     ti = jax.lax.bitcast_convert_type(ti_bits, jnp.float32)
 
     # ---- stage C: voxel evaluation ---------------------------------------
-    nmeta = meta.at[0].set(n_amb1).at[6].set(td.num_runs)
+    nmeta = meta.at[0].set(n_amb1).at[6].set(td.num_runs).at[7].set(row0)
     vals = kernels3d.voxel_eval_3d(nmeta, order1, parents, matf,
                                    td.packed, td.imms, runs_full,
                                    branch_ops, tw, ti, runsC, gmetaC,
-                                   n_side=n, s_cap=s_cap, cpi=4)
+                                   n_side=n, n_rows=n_rows,
+                                   s_cap=s_cap, cpi=4)
 
-    # ---- depth composition ------------------------------------------------
-    base = jnp.repeat(jnp.repeat(h16, 16, 0), 16, 1)      # (size, size)
+    # ---- depth composition (slab-local image) -----------------------------
+    h_px = n_rows * TILE
+    base = jnp.repeat(jnp.repeat(h16, 16, 0), 16, 1)      # (h_px, size)
     v = vals.reshape(c_cap, 16, 16, 16)                   # [vz, vy, vx]
     cz0 = (gz16[order1] * 16)[:, None, None, None]
     vz = jnp.arange(16, dtype=jnp.int32)[None, :, None, None]
@@ -219,7 +244,7 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
         jnp.arange(16, dtype=jnp.int32)[None, None, :]
     flat = (py * size + px).reshape(-1)
     depth = base.reshape(-1).at[flat].max(dep_c.reshape(-1))
-    depth = depth.reshape(size, size).astype(jnp.int32)
+    depth = depth.reshape(h_px, size).astype(jnp.int32)
 
     counters = jnp.stack([amb0.sum(), amb1.sum(),
                           jnp.asarray(p0_cap), jnp.asarray(c_cap)])
@@ -228,12 +253,13 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
         return depth, None, counters
 
     # ---- normals: column tapes + Deriv kernel -----------------------------
-    boxesD = _column_boxes(n, mat)
+    n_cols = n_rows * n
+    boxesD = _column_boxes(n, mat, row0, n_rows)
     _, codesD = kernels.interval_shorten(meta, td.packed, td.imms,
                                          runs_full, boxesD,
                                          branch_ops=branch_ops)
-    blocks = depth.reshape(n, TILE, n, TILE).transpose(0, 2, 1, 3)
-    blocks = blocks.reshape(n * n, TILE * TILE)
+    blocks = depth.reshape(n_rows, TILE, n, TILE).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(n_cols, TILE * TILE)
     content = (blocks.max(axis=1) > 0)
     orderD = jnp.argsort(jnp.logical_not(content),
                          stable=True).astype(jnp.int32)
@@ -241,31 +267,40 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
 
     codes_selD = codesD[orderD]
     wrwD, irwD, remD, lensD = _shorten_prepass(codes_selD, td.packed,
-                                               td.imms, td.length, remap_j)
+                                               td.imms, td.length, remap_j,
+                                               rows=rows3)
     cmetaD = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                          jnp.int32).at[0].set(n_act)
-    tpiD = 16 if (n * n) % 16 == 0 else 1
+    tpiD = 16 if n_cols % 16 == 0 else 1
     twD, tiD_bits, runsD, gmetaD = kernels.compact_bitshift_batched(
         cmetaD, lensD, wrwD, irwD, remD, cap=cap, tpi=tpiD)
     tiD = jax.lax.bitcast_convert_type(tiD_bits, jnp.float32)
 
-    nmetaD = meta.at[0].set(n_act)
+    nmetaD = meta.at[0].set(n_act).at[7].set(row0)
     out = kernels3d.deriv_eval_3d(nmetaD, orderD, matf, td.packed, td.imms,
                                   runs_full, branch_ops, twD, tiD, runsD,
-                                  gmetaD, blocks, n_side=n, s_cap=s_cap)
+                                  gmetaD, blocks, n_side=n, n_rows=n_rows,
+                                  s_cap=s_cap)
     # scatter rows back to tile order, normalize, mask empties
-    g_idx = jnp.arange(n * n)
+    g_idx = jnp.arange(n_cols)
     rows_ok = (g_idx < n_act)[:, None, None]
     out = jnp.where(rows_ok, out, 0.0)
-    all_blocks = jnp.zeros((n * n, 4, TILE * TILE), jnp.float32)
+    all_blocks = jnp.zeros((n_cols, 4, TILE * TILE), jnp.float32)
     all_blocks = all_blocks.at[orderD].set(out)
-    grad = all_blocks[:, 1:4]                              # (n², 3, 4096)
+    grad = all_blocks[:, 1:4]                              # (n_cols, 3, 4096)
     norm = jnp.sqrt(jnp.sum(grad * grad, axis=1, keepdims=True))
     grad = grad / jnp.maximum(norm, 1e-12)
-    img = grad.reshape(n, n, 3, TILE, TILE).transpose(0, 3, 1, 4, 2)
-    img = img.reshape(size, size, 3)
+    img = grad.reshape(n_rows, n, 3, TILE, TILE).transpose(0, 3, 1, 4, 2)
+    img = img.reshape(h_px, size, 3)
     img = jnp.where((depth > 0)[:, :, None], img, 0.0)
     return depth, img, counters
+
+
+@functools.partial(jax.jit, static_argnames=("size", "with_normals"))
+def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
+                  with_normals: bool = True):
+    return render3d_rows(td, mat, size, jnp.int32(0), size // TILE,
+                         with_normals)
 
 
 def render3d(tape: Tape, mat=None, size: int = 256,

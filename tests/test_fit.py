@@ -1,0 +1,75 @@
+"""End-to-end differentiable rendering: gradient descent on tape constants
+(the capability the CUDA reference lacks; SURVEY.md §7 step 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpr_tpu.frontend import shapes
+from mpr_tpu.ops import eval_scan
+from mpr_tpu.ops.tape_data import TapeData
+from mpr_tpu.tape.tape import compile_tree
+
+
+def _soft_render(td, size, sharpness=20.0):
+    p = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size * 2.0 - 1.0
+    x = jnp.broadcast_to(p[None, :], (size, size))
+    y = jnp.broadcast_to(p[:, None], (size, size))
+    v = eval_scan.eval_f(td, x, y)
+    return jnp.tanh(-sharpness * v) * 0.5 + 0.5
+
+
+def _with_imms(td, imms):
+    return TapeData(td.packed, imms, td.runs, td.length, td.num_slots,
+                    td.axis_slots, td.result_slot, td.num_choices,
+                    td.ops_present, td.num_runs)
+
+
+def test_fit_circle_radius():
+    """Fitting a circle's constants to a larger circle's image recovers
+    the target radius."""
+    size = 64
+    td0 = TapeData.from_tape(compile_tree(shapes.circle(0.5)))
+    target = _soft_render(
+        TapeData.from_tape(compile_tree(shapes.circle(0.7))), size,
+        sharpness=8.0)
+
+    @jax.jit
+    def step(imms):
+        def loss_fn(imms):
+            soft = _soft_render(_with_imms(td0, imms), size, sharpness=8.0)
+            return jnp.mean((soft - target) ** 2)
+        l, g = jax.value_and_grad(loss_fn)(imms)
+        return l, imms - 0.05 * g
+
+    imms = td0.imms
+    losses = []
+    for _ in range(300):
+        l, imms = step(imms)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.01, losses[::60]
+    # the circle tape is sqrt(x^2 + y^2) - r (SUB_LHS_IMM, imm = r)
+    r_pos = np.asarray(td0.imms) == 0.5
+    assert r_pos.sum() == 1
+    r = float(np.asarray(imms)[r_pos][0])
+    assert abs(r - 0.7) < 0.02, r
+
+
+def test_grad_matches_finite_difference():
+    """d(loss)/d(imms) from autodiff == central finite differences."""
+    size = 32
+    td = TapeData.from_tape(compile_tree(shapes.ring(0.8, 0.4)))
+
+    def loss(imms):
+        return float(jnp.sum(_soft_render(_with_imms(td, imms), size)))
+
+    g = jax.grad(lambda i: jnp.sum(_soft_render(_with_imms(td, i), size)))(
+        td.imms)
+    g = np.asarray(g)
+    imms0 = np.array(td.imms)
+    eps = 1e-3
+    for t in np.nonzero(imms0)[0][:4]:
+        up = imms0.copy(); up[t] += eps
+        dn = imms0.copy(); dn[t] -= eps
+        fd = (loss(jnp.asarray(up)) - loss(jnp.asarray(dn))) / (2 * eps)
+        assert abs(fd - g[t]) < 2e-2 * max(1.0, abs(fd)), (t, fd, g[t])

@@ -56,3 +56,28 @@ def test_sharded_matches_single_chip():
         assert np.array_equal(img_s, img_1)
         print("OK")
     """)
+
+
+def test_sharded_3d_matches_single_chip():
+    """Sharded 3D render (slab per device) == single-device render."""
+    _run("""
+        import numpy as np
+        from mpr_tpu.frontend import shapes
+        from mpr_tpu.parallel import sharded
+        from mpr_tpu.render import camera
+        from mpr_tpu.render.pipeline3d import render3d
+        from mpr_tpu.tape.tape import compile_tree
+
+        tape = compile_tree(shapes.two_spheres())
+        mesh = sharded.make_mesh(4)
+        mat = camera.gui3d_view()
+        d_s, n_s = sharded.render3d_sharded(tape, mat=mat, size=256,
+                                            mesh=mesh)
+        d_1, n_1 = render3d(tape, mat=mat, size=256)
+        assert d_s.shape == d_1.shape == (256, 256)
+        mism = (d_s != d_1).mean()
+        assert mism < 0.002, f"depth mismatch {mism}"
+        m = (d_s == d_1) & (d_s > 0)
+        assert np.allclose(n_s[m], n_1[m], atol=2e-3)
+        print("OK")
+    """)
