@@ -1,0 +1,57 @@
+"""Typed runtime configuration.
+
+The reference's knobs are compile-time ``#define``s
+(NUM_TILES/NUM_THREADS/SUBTAPE_CHUNK_SIZE/NUM_SUBTAPES,
+/root/reference/inc/parameters.hpp:14-22) plus CMake options.  Here the
+equivalent capacities and batching factors live in one dataclass; jitted
+pipelines treat the active config as static, so changing it triggers a
+(cached-per-value) recompile, exactly like rebuilding the reference with
+different defines — but at runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from contextlib import contextmanager
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # -- 3D stage capacities (pipeline3d._caps multipliers) -----------------
+    # ambiguous 64^3 tiles per slab: min(n_tiles, max(64, p0_scale*n*n_rows))
+    p0_scale: int = 8
+    # ambiguous 16^3 cells: min(p0*64, max(512, c1_scale*n*n_rows))
+    c1_scale: int = 96
+    # per-cell shortened-tape capacity = tape capacity // cap_div
+    cap_div: int = 2
+    # cells per voxel-kernel grid instance (amortizes instance overhead)
+    cpi: int = 4
+    # tiles per compaction-kernel instance
+    tpi: int = 16
+    # -- kernel A lane blocking ---------------------------------------------
+    block_lanes: int = 512
+
+
+_active = Config()
+
+
+def get() -> Config:
+    return _active
+
+
+def set_config(cfg: Config) -> None:
+    global _active
+    _active = cfg
+
+
+@contextmanager
+def override(**kwargs):
+    """Temporarily override config fields:
+    ``with config.override(c1_scale=192): render3d(...)``."""
+    global _active
+    old = _active
+    _active = dataclasses.replace(old, **kwargs)
+    try:
+        yield _active
+    finally:
+        _active = old

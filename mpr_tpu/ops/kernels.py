@@ -822,9 +822,18 @@ def build_remap(ops_present):
     """Branch table spec: returns (branch_ops tuple, remap np array (32,)).
 
     branch id 0 is a NOP; COPY_IMM is always present (shortening can emit
-    it); everything else comes from the tape's static op set."""
-    branch_ops = sorted(set(int(o) for o in ops_present)
-                        | {int(Op.COPY_IMM)} - {0, 1})
+    it); everything else comes from the tape's static op set.
+    ``ops_present`` order is PRESERVED — lax.switch lowers to a linear
+    predicate chain (~6 ns per branch per step, docs/perf_notes.md), so
+    TapeData orders ops by frequency to put hot ops first."""
+    seen = set()
+    branch_ops = []
+    for o in tuple(ops_present) + (int(Op.COPY_IMM),):
+        o = int(o)
+        if o in (0, 1) or o in seen:
+            continue
+        seen.add(o)
+        branch_ops.append(o)
     remap = np.zeros(32, dtype=np.int32)
     for i, o in enumerate(branch_ops):
         remap[o] = i + 1
@@ -1014,9 +1023,12 @@ def _prefix_count(mask_i32, W, max_bits):
 
 
 def _compact_core(w, i_, rem, n, W, max_bits=13):
-    """Compact one tile's (8, W) planes; returns row-0 results.
+    """Compact one tile's (R, W) planes.
 
-    Returns (tw_row (W,), ti_row (W,), runs_row (W,), n_runs scalar)."""
+    The binary left-moves operate on the FLAT row-major order, so the
+    compacted prefix spans rows in flat order — the caller reshapes the
+    returned full planes to linear tapes.  Returns
+    (tw_plane (R, W), ti_plane (R, W), runs_plane (R, W), n_runs)."""
     (w, i_) = _compact_planes([w, i_], rem, W, max_bits)
 
     row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
@@ -1043,8 +1055,8 @@ def _compact_core(w, i_, rem, n, W, max_bits=13):
     last = run_idx == (n_runs - 1)
     counts = jnp.where(last, n - starts, next_start - starts)
     headers = jnp.where(rvalid, bids | (counts << 8), 0)
-    return (jnp.where(valid, w, 0)[0], jnp.where(valid, i_, 0)[0],
-            headers[0], n_runs)
+    return (jnp.where(valid, w, 0), jnp.where(valid, i_, 0),
+            headers, n_runs)
 
 
 def _compact_bitshift_kernel(
@@ -1070,13 +1082,14 @@ def _compact_bitshift_kernel(
     @pl.when(g < n_groups)
     def _():
         W = wrw_ref.shape[2]
+        r_out = tw_ref.shape[1]
         tile = order_ref[g]
         n = lens_ref[tile]
-        tw_row, ti_row, runs_row, n_runs = _compact_core(
+        tw_p, ti_p, runs_p, n_runs = _compact_core(
             wrw_ref[0], irw_ref[0], rem_ref[0], n, W)
-        tw_ref[0, 0] = tw_row
-        ti_ref[0, 0] = ti_row
-        runs_ref[0, 0] = runs_row
+        tw_ref[0] = tw_p[:r_out]
+        ti_ref[0] = ti_p[:r_out]
+        runs_ref[0] = runs_p[:r_out]
         gmeta_ref[0, 0, 0] = n
         gmeta_ref[0, 0, 1] = n_runs
         gmeta_ref[0, 0, 2] = (n > cap).astype(jnp.int32)
@@ -1092,17 +1105,18 @@ def _make_compact_batched_kernel(tpi: int):
         n_groups = cmeta_ref[0]
         cap = cmeta_ref[1]
         W = wrw_ref.shape[3]
+        r_out = tw_ref.shape[2]
         for k in range(tpi):
             slot = g * tpi + k
 
             @pl.when(slot < n_groups)
             def _(k=k, slot=slot):
                 n = lens_ref[slot]
-                tw_row, ti_row, runs_row, n_runs = _compact_core(
+                tw_p, ti_p, runs_p, n_runs = _compact_core(
                     wrw_ref[0, k], irw_ref[0, k], rem_ref[0, k], n, W)
-                tw_ref[0, k] = tw_row
-                ti_ref[0, k] = ti_row
-                runs_ref[0, k] = runs_row
+                tw_ref[0, k] = tw_p[:r_out]
+                ti_ref[0, k] = ti_p[:r_out]
+                runs_ref[0, k] = runs_p[:r_out]
                 gmeta_ref[0, k, 0] = n
                 gmeta_ref[0, k, 1] = n_runs
                 gmeta_ref[0, k, 2] = (n > cap).astype(jnp.int32)
@@ -1113,14 +1127,16 @@ def compact_bitshift_batched(cmeta, lens, wrw, irw, rem, cap: int,
                              tpi: int = 16):
     """Batched kernel C v2 over PRE-ORDERED tiles (no order indirection).
 
-    wrw/irw/rem: (G, R, W) planes (R*W = source tape capacity; cap = W so
-    smaller R trades vector-op efficiency for a longer per-tile cap), rows
-    already in processing order; lens aligned.  G must be a multiple of
-    tpi.  Returns (tw (G, W) i32, ti_bits (G, W) i32, runs (G, W) i32,
+    wrw/irw/rem: (G, R, W) planes, rows already in processing order; lens
+    aligned.  The compacted tape lands in flat row-major order, so the
+    per-tile capacity is ``cap`` = r_out * W for any r_out <= R — pass cap
+    as a multiple of W.  G must be a multiple of tpi.  Returns
+    (tw (G, cap) i32, ti_bits (G, cap) i32, runs (G, cap) i32,
     gmeta (G, 8) i32).
     """
     G, R, W = wrw.shape
-    assert cap == W and G % tpi == 0
+    r_out = cap // W
+    assert cap == r_out * W and 1 <= r_out <= R and G % tpi == 0
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G // tpi,),
@@ -1133,11 +1149,11 @@ def compact_bitshift_batched(cmeta, lens, wrw, irw, rem, cap: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tpi, W), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, tpi, r_out, W), lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tpi, W), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, tpi, r_out, W), lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tpi, W), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, tpi, r_out, W), lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tpi, 8), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -1145,16 +1161,19 @@ def compact_bitshift_batched(cmeta, lens, wrw, irw, rem, cap: int,
     )
     tw, ti, runs, gmeta = pl.pallas_call(
         _make_compact_batched_kernel(tpi),
-        out_shape=(jax.ShapeDtypeStruct((G // tpi, tpi, W), jnp.int32),
-                   jax.ShapeDtypeStruct((G // tpi, tpi, W), jnp.int32),
-                   jax.ShapeDtypeStruct((G // tpi, tpi, W), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((G // tpi, tpi, r_out, W),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((G // tpi, tpi, r_out, W),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((G // tpi, tpi, r_out, W),
+                                        jnp.int32),
                    jax.ShapeDtypeStruct((G // tpi, tpi, 8), jnp.int32)),
         grid_spec=grid,
         interpret=_on_cpu(),
     )(cmeta, lens,
       wrw.reshape(G // tpi, tpi, R, W), irw.reshape(G // tpi, tpi, R, W),
       rem.reshape(G // tpi, tpi, R, W))
-    return (tw.reshape(G, W), ti.reshape(G, W), runs.reshape(G, W),
+    return (tw.reshape(G, cap), ti.reshape(G, cap), runs.reshape(G, cap),
             gmeta.reshape(G, 8))
 
 

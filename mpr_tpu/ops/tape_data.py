@@ -101,17 +101,29 @@ class TapeData:
         runs = np.zeros(cap, dtype=np.int32)
         runs[:rn] = (ops[starts].astype(np.int64)
                      | ((ends - starts).astype(np.int64) << 8)).astype(np.int32)
+        # ops ordered by descending clause count: the kernels' lax.switch
+        # chains test branches in this order, so hot ops dispatch first
+        counts = np.bincount(ops, minlength=32)
+        by_freq = np.argsort(-counts, kind="stable")
+        ops_present = tuple(int(o) for o in by_freq if counts[o] > 0)
         return cls(jnp.asarray(packed), jnp.asarray(imms), jnp.asarray(runs),
                    length=n, num_slots=tape.num_slots,
                    axis_slots=tape.axis_slots,
                    result_slot=tape.result_slot,
                    num_choices=tape.num_choices,
-                   ops_present=tuple(sorted(set(int(o) for o in tape.ops))),
+                   ops_present=ops_present,
                    num_runs=rn)
 
     @property
     def capacity(self) -> int:
         return int(self.packed.shape[0])
+
+    def replace_imms(self, imms) -> "TapeData":
+        """Rebind the differentiable constant plane (e.g. after a
+        gradient-descent step on d(image)/d(imms))."""
+        return TapeData(self.packed, imms, self.runs, self.length,
+                        self.num_slots, self.axis_slots, self.result_slot,
+                        self.num_choices, self.ops_present, self.num_runs)
 
 
 def unpack_fields(word):

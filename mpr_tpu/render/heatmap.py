@@ -78,7 +78,7 @@ def _heatmap3d_jit(td: TapeData, mat, size: int):
     remap_j = jnp.asarray(remap)
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
     T = jnp.float32(td.length)
-    cap = td.capacity // 8
+    cap = td.capacity // 2   # matches pipeline3d's per-cell cap
 
     # stage A work: T per 64^3 tile, amortized over its 64^2 pixels,
     # summed over the n z-tiles of each screen column

@@ -124,30 +124,37 @@ def _column_boxes(n: int, mat, row0=0, n_rows: int = None):
     return jnp.stack(_mat4_interval(mat, xl, xh, yl, yh, zl, zh))
 
 
-def _caps(n: int, n_rows: int = None) -> Tuple[int, int]:
+def _caps(n: int, n_rows: int = None, cfg=None) -> Tuple[int, int]:
     """Static capacities for ambiguous 64³ tiles / 16³ cells.
 
     Sized from surface-area scaling: a closed surface crosses O(k²) of the
     k³ cells at granularity k, with a small constant for multi-component /
-    high-curvature shapes.  Overflow degrades to missing surface regions
-    and warns (see render3d)."""
+    high-curvature shapes (multipliers from mpr_tpu.config).  Overflow
+    degrades to missing surface regions and warns (see render3d)."""
+    from .. import config as _config
+    cfg = _config.get() if cfg is None else cfg
     if n_rows is None:
         n_rows = n
-    p0 = min(n * n_rows * n, max(64, 8 * n * n_rows))
-    c1 = min(p0 * 64, max(512, 96 * n * n_rows))
+    p0 = min(n * n_rows * n, max(64, cfg.p0_scale * n * n_rows))
+    c1 = min(p0 * 64, max(512, cfg.c1_scale * n * n_rows))
+    # compaction (tpi) and voxel (cpi) batching need aligned counts
+    align = max(cfg.tpi, cfg.cpi, 4)
+    c1 = -(-c1 // align) * align
     return p0, c1
 
 
 def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
-                  with_normals: bool = True):
+                  with_normals: bool = True, cfg=None):
     """Render screen-tile rows [row0, row0+n_rows) of a size² 3D frame.
 
     The sharded renderer calls this per shard (each device owns a
     horizontal slab; all stages — classification, occlusion, voxel eval,
     normals — are slab-local because tiles have no cross-tile data
     dependence); the single-chip path uses the whole grid."""
+    from .. import config as _config
+    cfg = _config.get() if cfg is None else cfg
     n = size // TILE
-    p0_cap, c_cap = _caps(n, n_rows)
+    p0_cap, c_cap = _caps(n, n_rows, cfg)
     s_cap = max(8, -(-td.num_slots // 8) * 8)
     branch_ops, remap = kernels.build_remap(td.ops_present)
     remap_j = jnp.asarray(remap)
@@ -156,12 +163,12 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
                         td.axis_slots[0], td.axis_slots[1],
                         td.axis_slots[2], td.num_runs, 0], dtype=jnp.int32)
     matf = mat.reshape(16)
-    # Compaction plane rows = 2 -> per-cell tape cap = Tcap/2: blobby 3D
-    # models (bear: EXP blends, 27 choices in 544 clauses) barely shorten,
-    # and an overflowing cell falls back to the FULL tape — at cap Tcap/8
-    # that fallback dominated the voxel stage (docs/perf_notes.md).
-    rows3 = 2
-    cap = td.capacity // rows3
+    # Per-cell tape cap = Tcap/2 (compacted tapes span 4 of the 8 plane
+    # rows in flat order): blobby 3D models (bear: EXP blends, 27 choices
+    # in 544 clauses) barely shorten, and an overflowing cell falls back
+    # to the FULL tape — at cap Tcap/8 that fallback dominated the voxel
+    # stage (docs/perf_notes.md).
+    cap = td.capacity // cfg.cap_div
     n_tiles0 = n * n_rows * n
 
     # ---- stage A: 64^3 tiles, full tape ---------------------------------
@@ -214,11 +221,11 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     # ---- per-child tapes --------------------------------------------------
     codes_sel = codes1[order1]
     wrw, irw, rem, lens = _shorten_prepass(codes_sel, td.packed, td.imms,
-                                           td.length, remap_j, rows=rows3)
+                                           td.length, remap_j)
     cmeta = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                         jnp.int32).at[0].set(n_amb1)
     tw, ti_bits, runsC, gmetaC = kernels.compact_bitshift_batched(
-        cmeta, lens, wrw, irw, rem, cap=cap, tpi=16)
+        cmeta, lens, wrw, irw, rem, cap=cap, tpi=cfg.tpi)
     ti = jax.lax.bitcast_convert_type(ti_bits, jnp.float32)
 
     # ---- stage C: voxel evaluation ---------------------------------------
@@ -227,7 +234,7 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
                                    td.packed, td.imms, runs_full,
                                    branch_ops, tw, ti, runsC, gmetaC,
                                    n_side=n, n_rows=n_rows,
-                                   s_cap=s_cap, cpi=4)
+                                   s_cap=s_cap, cpi=cfg.cpi)
 
     # ---- depth composition (slab-local image) -----------------------------
     h_px = n_rows * TILE
@@ -267,11 +274,10 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
 
     codes_selD = codesD[orderD]
     wrwD, irwD, remD, lensD = _shorten_prepass(codes_selD, td.packed,
-                                               td.imms, td.length, remap_j,
-                                               rows=rows3)
+                                               td.imms, td.length, remap_j)
     cmetaD = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                          jnp.int32).at[0].set(n_act)
-    tpiD = 16 if n_cols % 16 == 0 else 1
+    tpiD = cfg.tpi if n_cols % cfg.tpi == 0 else 1
     twD, tiD_bits, runsD, gmetaD = kernels.compact_bitshift_batched(
         cmetaD, lensD, wrwD, irwD, remD, cap=cap, tpi=tpiD)
     tiD = jax.lax.bitcast_convert_type(tiD_bits, jnp.float32)
@@ -296,11 +302,11 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     return depth, img, counters
 
 
-@functools.partial(jax.jit, static_argnames=("size", "with_normals"))
+@functools.partial(jax.jit, static_argnames=("size", "with_normals", "cfg"))
 def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
-                  with_normals: bool = True):
+                  with_normals: bool = True, cfg=None):
     return render3d_rows(td, mat, size, jnp.int32(0), size // TILE,
-                         with_normals)
+                         with_normals, cfg)
 
 
 def render3d(tape: Tape, mat=None, size: int = 256,
@@ -310,10 +316,11 @@ def render3d(tape: Tape, mat=None, size: int = 256,
 
     Returns (depth int32 (size, size), normals f32 (size, size, 3) or
     None).  Depth: 0 = empty, else top filled voxel index + 1."""
+    from .. import config as _config
     td = TapeData.from_tape(tape)
     mat = camera.identity3() if mat is None else np.asarray(mat, np.float32)
     depth, normals, counters = _render3d_jit(td, jnp.asarray(mat), size,
-                                             with_normals)
+                                             with_normals, _config.get())
     c = np.asarray(counters)
     if c[0] > c[2] or c[1] > c[3]:
         import warnings

@@ -64,3 +64,26 @@ def test_frep_roundtrip_bytes(models_dir):
     raw = open(models_dir / "bear.frep", "rb").read()
     ss = frep.loads(raw)
     assert frep.loads(frep.dumps(ss))[0].tree is ss[0].tree
+
+
+def test_tape_checkpoint_roundtrip(tmp_path):
+    """Fitted-tape persistence (io/checkpoint.py)."""
+    import numpy as np
+    from mpr_tpu.frontend import shapes
+    from mpr_tpu.io.checkpoint import load_tape, save_tape
+    from mpr_tpu import oracle
+    from mpr_tpu.tape.tape import compile_tree
+
+    tape = compile_tree(shapes.ring(0.8, 0.4))
+    fitted = tape.imms.copy()
+    fitted[fitted == 0.8] = 0.75
+    p = str(tmp_path / "ring.npz")
+    save_tape(p, tape, imms=fitted)
+    t2 = load_tape(p)
+    xs = np.linspace(-1, 1, 33, dtype=np.float32)
+    X, Y = np.meshgrid(xs, xs)
+    ref = oracle.eval_f(tape, X, Y)  # unfitted differs
+    got = oracle.eval_f(t2, X, Y)
+    assert not np.allclose(ref, got)
+    np.testing.assert_array_equal(t2.ops, tape.ops)
+    assert t2.num_slots == tape.num_slots
