@@ -52,6 +52,18 @@ def cmd_render2d(args):
     fn = brute.render2d_brute if args.brute else pipeline2d.render2d
     img = fn(tape, size=args.size)
     _save(args.out, (img * np.uint8(255)))
+    if args.check:
+        # CPU-oracle cross-check, the render_2d.cpp:71-74 analog (exact:
+        # both paths evaluate the same clause semantics)
+        from . import oracle
+        from .render import camera
+        p = camera.pixel_centers(args.size)
+        X, Y = np.meshgrid(p, p)
+        ref = oracle.eval_f(tape, X, Y) < 0
+        mism = (ref != img).mean()
+        print(f"oracle cross-check: mismatch {mism:.2e}")
+        if mism > 1e-4:
+            sys.exit(f"FAIL: {mism:.2%} pixels differ from the oracle")
 
 
 def cmd_render3d(args):
@@ -75,16 +87,26 @@ def cmd_render3d(args):
         _save(f"{base}_shaded.png", (img * 255).astype(np.uint8))
 
 
-def _table(tape, sizes, frame_of_size, stop_ms=None):
+def _table(tape, sizes, frame_of_size, stop_ms=None, profile_dir=None):
     from .utils.timing import time_frames
-    print(f"{'size':>6} {'mean_ms':>10}")
-    for size in sizes:
-        frame, fargs = frame_of_size(size)
-        ms = time_frames(frame, *fargs, n=args_runs(size), n0=5)
-        print(f"{size:>6} {ms:>10.4f}")
-        if stop_ms and ms > stop_ms:
-            print(f"(stopped: mean > {stop_ms} ms)", file=sys.stderr)
-            break
+    import contextlib
+    if profile_dir:
+        # jax.profiler traces (the nvprof/ptxas-line-info analog,
+        # /root/reference/src/CMakeLists.txt:1): view with xprof/tensorboard
+        import jax
+        ctx = jax.profiler.trace(profile_dir)
+        print(f"writing profiler trace to {profile_dir}", file=sys.stderr)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        print(f"{'size':>6} {'mean_ms':>10}")
+        for size in sizes:
+            frame, fargs = frame_of_size(size)
+            ms = time_frames(frame, *fargs, n=args_runs(size), n0=5)
+            print(f"{size:>6} {ms:>10.4f}")
+            if stop_ms and ms > stop_ms:
+                print(f"(stopped: mean > {stop_ms} ms)", file=sys.stderr)
+                break
 
 
 def args_runs(size):
@@ -111,7 +133,7 @@ def cmd_table2d(args):
         return frame, (mat,)
 
     sizes = args.sizes or [256, 512, 1024, 2048, 3072, 4096]
-    _table(tape, sizes, frame_of_size)
+    _table(tape, sizes, frame_of_size, profile_dir=args.profile)
 
 
 def cmd_table3d(args):
@@ -131,7 +153,8 @@ def cmd_table3d(args):
         return frame, (mat,)
 
     sizes = args.sizes or [256, 512, 1024, 1536, 2048]
-    _table(tape, sizes, frame_of_size, stop_ms=750.0)
+    _table(tape, sizes, frame_of_size, stop_ms=750.0,
+           profile_dir=args.profile)
 
 
 def cmd_brute(args):
@@ -302,6 +325,8 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--out", default="out_2d.png")
     p.add_argument("--brute", action="store_true")
+    p.add_argument("--check", action="store_true",
+                   help="cross-check against the NumPy oracle")
     p.set_defaults(fn=cmd_render2d)
 
     p = sub.add_parser("render3d")
@@ -321,6 +346,8 @@ def main(argv=None):
         p.add_argument("--sizes", type=lambda s: [int(x) for x in
                                                   s.split(",")],
                        default=sizes_default)
+        p.add_argument("--profile", default=None, metavar="DIR",
+                       help="write a jax.profiler trace")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("brute")

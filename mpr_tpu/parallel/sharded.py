@@ -65,9 +65,7 @@ def make_mesh(n_devices: Optional[int] = None,
 
 def _with_imms(td: TapeData, imms: jnp.ndarray) -> TapeData:
     """Rebind the differentiable immediate plane (imms is a pytree leaf)."""
-    return TapeData(td.packed, imms, td.runs, td.length, td.num_slots,
-                    td.axis_slots, td.result_slot, td.num_choices,
-                    td.ops_present, td.num_runs)
+    return td.replace_imms(imms)
 
 
 # ---------------------------------------------------------------------------
