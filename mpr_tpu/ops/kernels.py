@@ -843,15 +843,25 @@ def build_remap(ops_present):
 def _make_pixel_run_kernel(branch_ops, s_cap):
     all_br = _float_branch_list()
 
-    def kernel(nmeta_ref, order_ref, words_ref, imms_ref, runsF_ref,
-               tw_ref, ti_ref, runs_ref, gmeta_ref, coords_ref,
-               vals_ref, regs_ref):
+    def kernel(nmeta_ref, order_ref, status_ref, words_ref, imms_ref,
+               runsF_ref, tw_ref, ti_ref, runs_ref, gmeta_ref, coords_ref,
+               fill_ref, regs_ref):
         g = pl.program_id(0)
         n_groups = nmeta_ref[0]
         res = nmeta_ref[2]
         sx, sy, sz = nmeta_ref[3], nmeta_ref[4], nmeta_ref[5]
+        tile = order_ref[g]
+        st = status_ref[tile]
 
-        @pl.when(g < n_groups)
+        # non-ambiguous tiles take their interval-stage decision — the
+        # copy_filled upsample (/root/reference/src/context.cu:664-692)
+        # folded into this kernel's tile-indexed output
+        @pl.when(jnp.logical_or(g >= n_groups, st != ST_AMBIG))
+        def _():
+            fill_ref[0] = jnp.full_like(fill_ref[0],
+                                        (st == ST_FILLED).astype(jnp.int32))
+
+        @pl.when(jnp.logical_and(g < n_groups, st == ST_AMBIG))
         def _():
             regs_ref[pl.ds(sx, 1)] = coords_ref[0, 0][None]
             regs_ref[pl.ds(sy, 1)] = coords_ref[0, 1][None]
@@ -909,18 +919,24 @@ def _make_pixel_run_kernel(branch_ops, s_cap):
                        lambda t: imms_ref[t],
                        nmeta_ref[6])
 
-            vals_ref[0] = regs_ref[pl.ds(res, 1)][0]
+            fill_ref[0] = (regs_ref[pl.ds(res, 1)][0] < 0.0).astype(
+                jnp.int32)
 
     return kernel
 
 
-def pixel_eval_runs(nmeta, order, words, imms, runs_full, remap_ops,
-                    tw, ti, runs, gmeta, coords, s_cap: int):
+def pixel_eval_runs(nmeta, order, status, words, imms, runs_full,
+                    remap_ops, tw, ti, runs, gmeta, coords, s_cap: int):
     """Kernel B v2.  See _make_pixel_run_kernel.
 
     nmeta: (8,) [n_groups, S, res, sx, sy, sz, n_runs_full, 0]
+    status: (n_tiles,) i32 interval-stage statuses, TILE order.
     remap_ops: static tuple of branch ops (from build_remap).
-    tw/ti/runs/gmeta: kernel C outputs.  coords: (n_tiles, 3, P).
+    tw/ti/runs/gmeta: kernel C outputs (in ORDER order).
+    coords: (n_tiles, 3, P) in TILE order.
+
+    Returns fill: (n_tiles, P) int32 0/1 in TILE order — ambiguous tiles
+    carry per-pixel signs, filled/empty tiles their interval decision.
     """
     gcap, cap = tw.shape
     rcap = runs.shape[1]
@@ -929,7 +945,7 @@ def pixel_eval_runs(nmeta, order, words, imms, runs_full, remap_ops,
     p8 = P // 8
     kernel = _make_pixel_run_kernel(remap_ops, s_cap)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(gcap,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # words (full)
@@ -944,22 +960,26 @@ def pixel_eval_runs(nmeta, order, words, imms, runs_full, remap_ops,
             pl.BlockSpec((1, 1, 8), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, 8, p8),
-                         lambda g, nmeta, order: (order[g], 0, 0, 0),
+                         lambda g, nmeta, order, status: (order[g], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, p8), lambda g, *_: (g, 0, 0),
+        # output blocks are TILE-indexed through the same order
+        # indirection, so the image composes by pure reshape
+        out_specs=pl.BlockSpec((1, 8, p8),
+                               lambda g, nmeta, order, status:
+                               (order[g], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((s_cap, 8, p8), jnp.float32)],
     )
-    vals = pl.pallas_call(
+    fill = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((gcap, 8, p8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, p8), jnp.int32),
         grid_spec=grid,
         interpret=_on_cpu(),
-    )(nmeta, order, words, imms, runs_full,
+    )(nmeta, order, status, words, imms, runs_full,
       tw[:, None, :], ti[:, None, :], runs[:, None, :], gmeta[:, None, :],
       coords.reshape(n_tiles, 3, 8, p8))
-    return vals.reshape(gcap, P)
+    return fill.reshape(n_tiles, P)
 
 
 # ---------------------------------------------------------------------------
@@ -1181,30 +1201,32 @@ def compact_bitshift(cmeta, order, lens, wrw, irw, rem,
                      gcap: int, cap: int, rcap: int):
     """Kernel C v2 wrapper.
 
-    wrw/irw/rem: (n_tiles, 8, W) int32 planes from the XLA prepass
-    (pipeline2d._shorten_prepass).  Returns (tw (gcap, W) i32,
-    ti_bits (gcap, W) i32, runs (gcap, W) i32, gmeta (gcap, 8) i32).
-    cap is clamped to W (the compacted prefix must fit row 0).
+    wrw/irw/rem: (n_tiles, R, W) int32 planes from the XLA prepass
+    (pipeline2d._shorten_prepass).  Per-tile capacity ``cap`` may be any
+    multiple of W up to R*W (compacted tapes land in flat row-major
+    order).  Returns (tw (gcap, cap) i32, ti_bits (gcap, cap) i32,
+    runs (gcap, cap) i32, gmeta (gcap, 8) i32).
     """
-    n_tiles, _, W = wrw.shape
-    assert cap == W and rcap == W, "bitshift compaction requires cap == W"
+    n_tiles, R, W = wrw.shape
+    r_out = cap // W
+    assert cap == r_out * W and 1 <= r_out <= R
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(gcap,),
         in_specs=[
-            pl.BlockSpec((1, 8, W), lambda g, c, o, l: (o[g], 0, 0),
+            pl.BlockSpec((1, R, W), lambda g, c, o, l: (o[g], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, W), lambda g, c, o, l: (o[g], 0, 0),
+            pl.BlockSpec((1, R, W), lambda g, c, o, l: (o[g], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, W), lambda g, c, o, l: (o[g], 0, 0),
+            pl.BlockSpec((1, R, W), lambda g, c, o, l: (o[g], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, W), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, r_out, W), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, r_out, W), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, r_out, W), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -1212,11 +1234,12 @@ def compact_bitshift(cmeta, order, lens, wrw, irw, rem,
     )
     tw, ti, runs, gmeta = pl.pallas_call(
         _compact_bitshift_kernel,
-        out_shape=(jax.ShapeDtypeStruct((gcap, 1, W), jnp.int32),
-                   jax.ShapeDtypeStruct((gcap, 1, W), jnp.int32),
-                   jax.ShapeDtypeStruct((gcap, 1, W), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((gcap, r_out, W), jnp.int32),
+                   jax.ShapeDtypeStruct((gcap, r_out, W), jnp.int32),
+                   jax.ShapeDtypeStruct((gcap, r_out, W), jnp.int32),
                    jax.ShapeDtypeStruct((gcap, 1, 8), jnp.int32)),
         grid_spec=grid,
         interpret=_on_cpu(),
     )(cmeta, order, lens, wrw, irw, rem)
-    return tw[:, 0], ti[:, 0], runs[:, 0], gmeta[:, 0]
+    return (tw.reshape(gcap, cap), ti.reshape(gcap, cap),
+            runs.reshape(gcap, cap), gmeta[:, 0])

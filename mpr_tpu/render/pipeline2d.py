@@ -191,6 +191,14 @@ def _shorten_prepass(codes, words, imms, length, remap, rows: int = 8):
     """
     from ..tape.opcodes import Op as _Op
     L, tw_words = codes.shape
+    # XLA lowers this fusion pathologically for row counts below 256
+    # (measured on v5e: L=64 -> 4.2 ms, L=128 -> 8.4 ms, L=256 -> ~0.07 ms
+    # for identical per-row work); pad rows up — downstream consumers
+    # index rows through `order`/slot ids and never touch the padding.
+    L_orig = L
+    if L < 256:
+        codes = jnp.pad(codes, ((0, 256 - L), (0, 0)))
+        L = 256
     tcap = words.shape[0]
     shifts = jnp.arange(8, dtype=jnp.int32) * 4
     nib = (codes[:, :, None] >> shifts[None, None, :]) & 15
@@ -225,7 +233,7 @@ def _shorten_prepass(codes, words, imms, length, remap, rows: int = 8):
     irw = jnp.where(keep, new_imm, 0)
     incl = jnp.cumsum(keep.astype(jnp.int32), axis=1)
     rem = jnp.where(keep, t_idx[None, :] - (incl - 1), 0)
-    lens = incl[:, -1]
+    lens = incl[:, -1][:L_orig]
     wr = tcap // rows
     return (wrw.reshape(L, rows, wr), irw.reshape(L, rows, wr),
             rem.reshape(L, rows, wr), lens)
@@ -263,8 +271,11 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     order = jnp.argsort(jnp.logical_not(amb), stable=True).astype(jnp.int32)
     n_amb = amb.sum().astype(jnp.int32)
 
-    # vectorized bit-shift compaction -> per-group run-structured tapes
-    cap = td.capacity // 8  # compacted prefix must fit row 0 (= W)
+    # vectorized bit-shift compaction -> per-group run-structured tapes.
+    # cap = Tcap/4 (compacted tapes span 2 of the 8 plane rows): at small
+    # image sizes each tile covers more of the shape and shortens less, so
+    # Tcap/8 overflowed into the full-tape fallback (measured @512).
+    cap = td.capacity // 4
     wrw, irw, rem, lens = _shorten_prepass(codes, td.packed, td.imms,
                                            td.length, remap_j)
     cmeta = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
@@ -276,19 +287,13 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     s_cap = max(8, -(-td.num_slots // 8) * 8)
     nmeta = meta.at[0].set(n_amb)
     coords = _pixel_coords_2d(n_side, mat, z, row0, n_rows, col0, n_cols)
-    vals = kernels.pixel_eval_runs(nmeta, order, td.packed, td.imms,
-                                   runs_full, branch_ops, tw, ti, runs,
-                                   gmeta, coords, s_cap=s_cap)
-
-    # compose image: scatter per-tile 64x64 blocks in `order` permutation
-    fill_base = (status == ST_FILLED)[order]             # (n_tiles,)
-    g = jnp.arange(n_tiles)
-    pix_fill = vals < 0.0                                # (n_tiles, 4096)
-    use_pix = jnp.logical_and(g < n_amb, amb[order])
-    blocks = jnp.where(use_pix[:, None], pix_fill, fill_base[:, None])
-    img4 = jnp.zeros((n_tiles, TILE * TILE), jnp.bool_)
-    img4 = img4.at[order].set(blocks)
-    img = img4.reshape(n_rows, n_cols, TILE, TILE).transpose(0, 2, 1, 3)
+    # kernel B writes TILE-indexed 0/1 blocks (ambiguous tiles: per-pixel
+    # signs; others: their interval decision), so composition is a reshape
+    fill = kernels.pixel_eval_runs(nmeta, order, status, td.packed,
+                                   td.imms, runs_full, branch_ops, tw, ti,
+                                   runs, gmeta, coords, s_cap=s_cap)
+    img = (fill > 0).reshape(n_rows, n_cols, TILE, TILE)
+    img = img.transpose(0, 2, 1, 3)
     return img.reshape(n_rows * TILE, n_cols * TILE), status
 
 

@@ -277,9 +277,15 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
                                                td.imms, td.length, remap_j)
     cmetaD = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                          jnp.int32).at[0].set(n_act)
-    tpiD = cfg.tpi if n_cols % cfg.tpi == 0 else 1
+    # prepass may pad rows up to 256 (see _shorten_prepass); compact at
+    # the padded count, then slice back to the real column count
+    GD = wrwD.shape[0]
+    lensD = jnp.pad(lensD, (0, GD - lensD.shape[0]))
+    tpiD = cfg.tpi if GD % cfg.tpi == 0 else 1
     twD, tiD_bits, runsD, gmetaD = kernels.compact_bitshift_batched(
         cmetaD, lensD, wrwD, irwD, remD, cap=cap, tpi=tpiD)
+    twD, tiD_bits = twD[:n_cols], tiD_bits[:n_cols]
+    runsD, gmetaD = runsD[:n_cols], gmetaD[:n_cols]
     tiD = jax.lax.bitcast_convert_type(tiD_bits, jnp.float32)
 
     nmetaD = meta.at[0].set(n_act).at[7].set(row0)
