@@ -12,8 +12,9 @@ reference on its own hardware).
 import json
 import sys
 
-BASELINE_MS = 3.85596  # V100, /root/reference/README.md:111
-SIZE = 1024
+# V100 frame times from the reference's README table
+# (/root/reference/README.md:109-111)
+BASELINE_MS = {256: 5.29331, 512: 4.21138, 1024: 3.85596}
 
 
 def main():
@@ -32,20 +33,36 @@ def main():
     td = TapeData.from_tape(compile_tree(tree))
     mat = jnp.asarray(camera.identity2())
     z = jnp.float32(0.0)
-    n_side = SIZE // pipeline2d.TILE
 
-    def frame(mat, td, z):
-        img, _ = pipeline2d.render_tile_block(
-            td, mat, z, SIZE, jnp.int32(0), n_side, jnp.int32(0), n_side)
-        return img
+    speedups = []
+    ms_1024 = None
+    for size, base in BASELINE_MS.items():
+        n_side = size // pipeline2d.TILE
 
-    mean_ms = time_frames(frame, mat, td, z, n=50, n0=5, perturb_arg=0)
-    print(f"mean {mean_ms:.3f} ms/frame", file=sys.stderr)
+        def frame(mat, td, z, size=size, n_side=n_side):
+            img, _ = pipeline2d.render_tile_block(
+                td, mat, z, size, jnp.int32(0), n_side,
+                jnp.int32(0), n_side)
+            return img
+
+        ms = time_frames(frame, mat, td, z, n=50, n0=5, perturb_arg=0)
+        if size == 1024:
+            ms_1024 = ms
+        speedups.append(base / ms)
+        print(f"prospero 2D @{size}: {ms:.3f} ms (V100 {base:.3f} -> "
+              f"{base / ms:.2f}x)", file=sys.stderr)
+
+    geo = 1.0
+    for s in speedups:
+        geo *= s
+    geo **= 1.0 / len(speedups)
+    # primary metric: the reference README table's headline (1024) frame
+    # time; vs_baseline: geometric-mean speedup across its three sizes
     print(json.dumps({
         "metric": "prospero_2d_1024_frame_ms",
-        "value": round(mean_ms, 3),
+        "value": round(ms_1024, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / mean_ms, 3),
+        "vs_baseline": round(geo, 3),
     }))
 
 

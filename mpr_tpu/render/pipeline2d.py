@@ -275,13 +275,22 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     # cap = Tcap/4 (compacted tapes span 2 of the 8 plane rows): at small
     # image sizes each tile covers more of the shape and shortens less, so
     # Tcap/8 overflowed into the full-tape fallback (measured @512).
+    # Rows are gathered into `order` order up front so the batched
+    # compaction kernel (tpi tiles/instance) applies — 16x fewer grid
+    # instances than the order-indirected variant.
     cap = td.capacity // 4
-    wrw, irw, rem, lens = _shorten_prepass(codes, td.packed, td.imms,
+    codes_sel = codes[order]
+    wrw, irw, rem, lens = _shorten_prepass(codes_sel, td.packed, td.imms,
                                            td.length, remap_j)
+    G = wrw.shape[0]
+    lens = jnp.pad(lens, (0, G - lens.shape[0]))
     cmeta = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                         jnp.int32).at[0].set(n_amb)
-    tw, ti_bits, runs, gmeta = kernels.compact_bitshift(
-        cmeta, order, lens, wrw, irw, rem, gcap=n_tiles, cap=cap, rcap=cap)
+    tpi = 16 if G % 16 == 0 else 1
+    tw, ti_bits, runs, gmeta = kernels.compact_bitshift_batched(
+        cmeta, lens, wrw, irw, rem, cap=cap, tpi=tpi)
+    tw, ti_bits = tw[:n_tiles], ti_bits[:n_tiles]
+    runs, gmeta = runs[:n_tiles], gmeta[:n_tiles]
     ti = jax.lax.bitcast_convert_type(ti_bits, jnp.float32)
 
     s_cap = max(8, -(-td.num_slots // 8) * 8)
