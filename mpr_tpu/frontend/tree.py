@@ -44,6 +44,8 @@ UNARY_OPS = (
 
 BINARY_OPS = (
     "add", "mul", "min", "max", "sub", "div",
+    # fused compound ops, produced by tape/fuse.py (not user-facing):
+    "hypot", "addsq",
     # frontend-only (tape compiler rejects, like the reference):
     "atan2", "pow", "nth-root", "mod", "nanfill", "compare",
 )

@@ -32,6 +32,7 @@ _FAMILY = {
     "asin": 9, "acos": 10, "atan": 11, "exp": 12, "abs": 13, "log": 14,
     "add": 15, "mul": 16, "min": 17, "max": 18,
     "sub": 19, "div": 20,
+    "hypot": 21, "addsq": 22,
 }
 
 

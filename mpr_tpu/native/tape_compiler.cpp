@@ -26,6 +26,7 @@ enum Family : int32_t {
   F_ASIN = 9, F_ACOS = 10, F_ATAN = 11, F_EXP = 12, F_ABS = 13, F_LOG = 14,
   F_ADD = 15, F_MUL = 16, F_MIN = 17, F_MAX = 18,
   F_SUB = 19, F_DIV = 20,
+  F_HYPOT = 21, F_ADDSQ = 22,   // fused compound ops (tape/fuse.py)
 };
 
 // GPU opcodes (mpr_tpu/tape/opcodes.py, mirroring
@@ -40,6 +41,7 @@ enum Op : int32_t {
   SUB_LHS_IMM = 21, SUB_IMM_RHS = 22, SUB_LHS_RHS = 23,
   DIV_LHS_IMM = 24, DIV_IMM_RHS = 25, DIV_LHS_RHS = 26,
   COPY_IMM = 27, COPY_LHS = 28, COPY_RHS = 29,
+  HYPOT_LHS_RHS = 30, ADDSQ_LHS_RHS = 31,
 };
 
 constexpr int32_t SLOT_CAP = 192;
@@ -53,6 +55,10 @@ struct Node {
 inline bool is_unary(int32_t f) { return f >= F_SQUARE && f <= F_LOG; }
 inline bool is_comm(int32_t f) { return f >= F_ADD && f <= F_MAX; }
 inline bool is_noncomm(int32_t f) { return f == F_SUB || f == F_DIV; }
+inline bool is_fused(int32_t f) { return f == F_HYPOT || f == F_ADDSQ; }
+inline int32_t fused_gpu(int32_t f) {
+  return f == F_HYPOT ? HYPOT_LHS_RHS : ADDSQ_LHS_RHS;
+}
 
 int32_t unary_gpu(int32_t f) { return SQUARE_LHS + (f - F_SQUARE); }
 
@@ -78,6 +84,7 @@ void noncomm_gpu(int32_t f, int32_t* lhs_imm, int32_t* imm_rhs,
 int32_t gpu_op_of(const std::vector<Node>& nodes, int32_t i) {
   const Node& c = nodes[i];
   if (is_unary(c.fam)) return unary_gpu(c.fam);
+  if (is_fused(c.fam)) return fused_gpu(c.fam);
   bool lc = c.lhs >= 0 && nodes[c.lhs].fam == F_CONST;
   bool rc = c.rhs >= 0 && nodes[c.rhs].fam == F_CONST;
   if (is_comm(c.fam)) {
@@ -244,6 +251,11 @@ int mpr_compile(const int32_t* fams, const int32_t* lhs, const int32_t* rhs,
       o_op = unary_gpu(c.fam);
       o_l = bound[c.lhs];
       if (o_l < 0) return -2;
+    } else if (is_fused(c.fam)) {
+      o_op = fused_gpu(c.fam);
+      o_l = bound[c.lhs];
+      o_r = bound[c.rhs];
+      if (o_l < 0 || o_r < 0) return -2;
     } else if (is_comm(c.fam)) {
       int32_t imm_form, reg_form;
       comm_gpu(c.fam, &imm_form, &reg_form);

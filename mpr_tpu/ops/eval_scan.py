@@ -66,6 +66,8 @@ def _float_branches():
         lambda a, b, imm: jnp.full_like(a, imm),    # COPY_IMM
         lambda a, b, imm: a,                        # COPY_LHS
         lambda a, b, imm: b,                        # COPY_RHS
+        lambda a, b, imm: jnp.sqrt(a * a + b * b),  # HYPOT_LHS_RHS
+        lambda a, b, imm: a * a + b,                # ADDSQ_LHS_RHS
     ]
 
 
@@ -199,6 +201,18 @@ def _interval_branches():
     def copy_rhs(al, ah, bl, bh, imm):
         return bl, bh, jnp.zeros_like(al, jnp.int32)
 
+    def hypot_iv(al, ah, bl, bh, imm):
+        sal, sah = im.i_square(j, al, ah)
+        sbl, sbh = im.i_square(j, bl, bh)
+        tl, th = im.i_add(j, sal, sah, sbl, sbh)
+        lo, hi = im.i_sqrt(j, tl, th)
+        return lo, hi, jnp.zeros_like(al, jnp.int32)
+
+    def addsq_iv(al, ah, bl, bh, imm):
+        sal, sah = im.i_square(j, al, ah)
+        lo, hi = im.i_add(j, sal, sah, bl, bh)
+        return lo, hi, jnp.zeros_like(al, jnp.int32)
+
     return [
         nop,                                         # 0 INVALID
         nop,                                         # 1 JUMP
@@ -230,6 +244,8 @@ def _interval_branches():
         copy_imm,
         copy_lhs,
         copy_rhs,
+        hypot_iv,
+        addsq_iv,
     ]
 
 

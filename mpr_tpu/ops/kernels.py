@@ -260,6 +260,25 @@ def _interval_branch_list():
     def copy_rhs(al, ah, bl, bh, imm):
         return no_c(bl, bh, al)
 
+    def _sq(al, ah):
+        neg_ = ah < 0.0
+        pos = al > 0.0
+        ll, hh = al * al, ah * ah
+        lo = jnp.where(neg_, hh, jnp.where(pos, ll, 0.0))
+        hi = jnp.where(jnp.abs(al) > jnp.abs(ah), ll, hh)
+        hi = jnp.where(neg_, ll, jnp.where(pos, hh, hi))
+        return lo, hi
+
+    def hypot_(al, ah, bl, bh, imm):
+        sal, sah = _sq(al, ah)
+        sbl, sbh = _sq(bl, bh)
+        tl, th = sal + sbl, sah + sbh
+        return no_c(jnp.sqrt(jnp.maximum(tl, 0.0)), jnp.sqrt(th), al)
+
+    def addsq_(al, ah, bl, bh, imm):
+        sal, sah = _sq(al, ah)
+        return no_c(sal + bl, sah + bh, al)
+
     return [
         nop, nop,                 # INVALID, JUMP
         square, sqrt_, neg, sincos, sincos, asin_, acos_, atan_,
@@ -269,6 +288,7 @@ def _interval_branch_list():
         sub_imm, sub_imm_rhs, sub,
         div_imm, div_imm_rhs, div,
         copy_imm, copy_lhs, copy_rhs,
+        hypot_, addsq_,
     ]
 
 
@@ -554,6 +574,8 @@ def _float_branch_list():
         lambda a, b, imm: jnp.full_like(a, imm),
         lambda a, b, imm: a,
         lambda a, b, imm: b,
+        lambda a, b, imm: jnp.sqrt(a * a + b * b),  # HYPOT_LHS_RHS
+        lambda a, b, imm: a * a + b,                # ADDSQ_LHS_RHS
     ]
 
 

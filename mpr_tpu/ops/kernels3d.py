@@ -309,8 +309,20 @@ def _deriv_branch_list():
         s = jnp.where(a[0] < 0.0, -1.0, 1.0)
         return (jnp.abs(a[0]), s * a[1], s * a[2], s * a[3])
 
+    def hypot_(a, b, imm):
+        v = jnp.sqrt(a[0] * a[0] + b[0] * b[0])
+        inv = 1.0 / v
+        return (v, (a[0] * a[1] + b[0] * b[1]) * inv,
+                (a[0] * a[2] + b[0] * b[2]) * inv,
+                (a[0] * a[3] + b[0] * b[3]) * inv)
+
+    def addsq_(a, b, imm):
+        c = 2.0 * a[0]
+        return (a[0] * a[0] + b[0], c * a[1] + b[1], c * a[2] + b[2],
+                c * a[3] + b[3])
+
     from . import transcendental as tc
-    branches = [None] * 30
+    branches = [None] * 32
     branches[int(Op.INVALID)] = lambda a, b, imm: d0(a[0] * 0.0, a)
     branches[int(Op.JUMP)] = branches[int(Op.INVALID)]
     branches[int(Op.SQUARE_LHS)] = square
@@ -346,6 +358,8 @@ def _deriv_branch_list():
         jnp.full_like(a[0], imm), a)
     branches[int(Op.COPY_LHS)] = lambda a, b, imm: a
     branches[int(Op.COPY_RHS)] = lambda a, b, imm: b
+    branches[int(Op.HYPOT_LHS_RHS)] = hypot_
+    branches[int(Op.ADDSQ_LHS_RHS)] = addsq_
     return branches
 
 

@@ -150,6 +150,10 @@ def eval_f(tape: Tape, x, y, z=None) -> np.ndarray:
                 slots[o] = a
             elif op == Op.COPY_RHS:
                 slots[o] = b
+            elif op == Op.HYPOT_LHS_RHS:
+                slots[o] = np.sqrt(a * a + b * b)
+            elif op == Op.ADDSQ_LHS_RHS:
+                slots[o] = a * a + b
             elif op == Op.INVALID:
                 break  # NOP padding / terminator
             else:
@@ -257,6 +261,14 @@ def eval_i(tape: Tape, xl, xh, yl, yh, zl=None, zh=None
                 lo[o], hi[o] = al.copy(), ah.copy()
             elif op == Op.COPY_RHS:
                 lo[o], hi[o] = bl.copy(), bh.copy()
+            elif op == Op.HYPOT_LHS_RHS:
+                sal, sah = i_square(al, ah)
+                sbl, sbh = i_square(bl, bh)
+                tl_, th_ = i_add(sal, sah, sbl, sbh)
+                lo[o], hi[o] = i_sqrt(tl_, th_)
+            elif op == Op.ADDSQ_LHS_RHS:
+                sal, sah = i_square(al, ah)
+                lo[o], hi[o] = i_add(sal, sah, bl, bh)
             elif op == Op.INVALID:
                 break
             else:
@@ -404,6 +416,16 @@ def eval_d(tape: Tape, x, y, z=None) -> Tuple[np.ndarray, ...]:
                 v[o], dx[o], dy[o], dz[o] = av, ax, ay, az
             elif op == Op.COPY_RHS:
                 v[o], dx[o], dy[o], dz[o] = bv, bx, by, bz
+            elif op == Op.HYPOT_LHS_RHS:
+                v[o] = np.sqrt(av * av + bv * bv)
+                inv = 1.0 / v[o]
+                dx[o] = (av * ax + bv * bx) * inv
+                dy[o] = (av * ay + bv * by) * inv
+                dz[o] = (av * az + bv * bz) * inv
+            elif op == Op.ADDSQ_LHS_RHS:
+                v[o] = av * av + bv
+                dx[o], dy[o], dz[o] = (2 * av * ax + bx, 2 * av * ay + by,
+                                       2 * av * az + bz)
             else:
                 raise ValueError(f"bad opcode {op}")
     rs = tape.result_slot

@@ -173,6 +173,10 @@ def build_unrolled_f(tape: Tape):
                 res = a
             elif op == Op.COPY_RHS:
                 res = b
+            elif op == Op.HYPOT_LHS_RHS:
+                res = jnp.sqrt(a * a + b * b)
+            elif op == Op.ADDSQ_LHS_RHS:
+                res = a * a + b
             else:
                 raise ValueError(f"bad opcode {op}")
             slots[o] = res

@@ -55,8 +55,15 @@ class Op(enum.IntEnum):
     COPY_LHS = 28
     COPY_RHS = 29
 
+    # Fused compound ops (no reference counterpart; emitted by the
+    # compile-time peephole pass in tape/fuse.py — the distance-field
+    # hot patterns sqrt(a²+b²) and a²+b collapse 4/2 clauses into 1,
+    # cutting interpreter steps, the only cost that matters on TPU)
+    HYPOT_LHS_RHS = 30
+    ADDSQ_LHS_RHS = 31
 
-NUM_OPS = 30
+
+NUM_OPS = 32
 
 # Choice-recording ops: min/max in both forms.  The shortening pass relies on
 # this contiguous range exactly like /root/reference/src/context.cu:365-366.
@@ -69,7 +76,7 @@ CHOICE_OP_HI = int(Op.MAX_LHS_RHS)
 # /root/reference/src/context.cu:421-423,437-447).
 RHS_OPS = (Op.ADD_LHS_RHS, Op.MUL_LHS_RHS, Op.MIN_LHS_RHS, Op.MAX_LHS_RHS,
            Op.SUB_IMM_RHS, Op.SUB_LHS_RHS, Op.DIV_IMM_RHS, Op.DIV_LHS_RHS,
-           Op.COPY_RHS)
+           Op.COPY_RHS, Op.HYPOT_LHS_RHS, Op.ADDSQ_LHS_RHS)
 
 # Ops whose LHS byte names a live slot.
 LHS_OPS = (Op.SQUARE_LHS, Op.SQRT_LHS, Op.NEG_LHS, Op.SIN_LHS, Op.COS_LHS,
@@ -78,7 +85,7 @@ LHS_OPS = (Op.SQUARE_LHS, Op.SQRT_LHS, Op.NEG_LHS, Op.SIN_LHS, Op.COS_LHS,
            Op.ADD_LHS_IMM, Op.ADD_LHS_RHS, Op.MUL_LHS_IMM, Op.MUL_LHS_RHS,
            Op.MIN_LHS_IMM, Op.MIN_LHS_RHS, Op.MAX_LHS_IMM, Op.MAX_LHS_RHS,
            Op.SUB_LHS_IMM, Op.SUB_LHS_RHS, Op.DIV_LHS_IMM, Op.DIV_LHS_RHS,
-           Op.COPY_LHS)
+           Op.COPY_LHS, Op.HYPOT_LHS_RHS, Op.ADDSQ_LHS_RHS)
 
 # Ops that carry a float immediate.
 IMM_OPS = (Op.ADD_LHS_IMM, Op.MUL_LHS_IMM, Op.MIN_LHS_IMM, Op.MAX_LHS_IMM,
@@ -117,6 +124,8 @@ _OP_STR = {
     Op.COPY_IMM: "COPY_IMM",
     Op.COPY_LHS: "COPY_LHS",
     Op.COPY_RHS: "COPY_RHS",
+    Op.HYPOT_LHS_RHS: "HYPOT_LHS_RHS",
+    Op.ADDSQ_LHS_RHS: "ADDSQ_LHS_RHS",
 }
 
 

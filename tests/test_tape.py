@@ -37,13 +37,16 @@ def eval_tree_np(t, X, Y, Z):
 
 def test_circle_tape_structure():
     # circle(1) = sqrt(x^2 + y^2) - 1  (benchmark/circle.cpp:22-24 analog)
-    tape = compile_tree(shapes.circle(1.0))
+    tape = compile_tree(shapes.circle(1.0), fuse=False)
     ops = [Op(o) for o in tape.ops]
     assert ops == [Op.SQUARE_LHS, Op.SQUARE_LHS, Op.ADD_LHS_RHS,
                    Op.SQRT_LHS, Op.SUB_LHS_IMM]
     assert tape.axis_slots[0] == 1 and tape.axis_slots[1] == 2
     assert tape.axis_slots[2] == 0  # z unused in 2D
     assert tape.imms[-1] == 1.0
+    # the peephole pass collapses the distance pattern to one clause
+    fused = compile_tree(shapes.circle(1.0), fuse=True)
+    assert [Op(o) for o in fused.ops] == [Op.HYPOT_LHS_RHS, Op.SUB_LHS_IMM]
 
 
 def test_imm_folding_noncommutative():
