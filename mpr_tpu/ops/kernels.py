@@ -865,9 +865,9 @@ def build_remap(ops_present):
 def _make_pixel_run_kernel(branch_ops, s_cap):
     all_br = _float_branch_list()
 
-    def kernel(nmeta_ref, order_ref, status_ref, fo_ref, fl_ref, fr_ref,
-               imms_ref, runsF_ref, to_ref, tl_ref, tr_ref, ti_ref,
-               runs_ref, gmeta_ref, coords_ref, fill_ref, regs_ref):
+    def kernel(nmeta_ref, order_ref, status_ref, words_ref, imms_ref,
+               runsF_ref, tw_ref, ti_ref, runs_ref, gmeta_ref, coords_ref,
+               fill_ref, regs_ref):
         g = pl.program_id(0)
         n_groups = nmeta_ref[0]
         res = nmeta_ref[2]
@@ -892,11 +892,7 @@ def _make_pixel_run_kernel(branch_ops, s_cap):
 
             overflow = gmeta_ref[0, 0, 2]
 
-            def interp(run_src, o_src, l_src, r_src, i_src, n_runs):
-                # operand bytes arrive PRE-DECODED in separate SMEM planes:
-                # the inner step is 3 scalar loads + 2 dynamic reads + 1
-                # dynamic write, no shift/mask chain (the scalar unit is
-                # the per-step bottleneck at full lane width)
+            def interp(run_src, w_src, i_src, n_runs):
                 def outer(r, t0):
                     hdr = run_src(r)
                     bid = hdr & 0xFF
@@ -906,10 +902,14 @@ def _make_pixel_run_kernel(branch_ops, s_cap):
                         def br(t0, cnt):
                             def inner(k, _):
                                 t = t0 + k
-                                a = regs_ref[pl.ds(l_src(t), 1)][0]
-                                b = regs_ref[pl.ds(r_src(t), 1)][0]
+                                w = w_src(t)
+                                out = (w >> 8) & 0xFF
+                                lhs = (w >> 16) & 0xFF
+                                rhs = (w >> 24) & 0xFF
+                                a = regs_ref[pl.ds(lhs, 1)][0]
+                                b = regs_ref[pl.ds(rhs, 1)][0]
                                 rv = f(a, b, i_src(t))
-                                regs_ref[pl.ds(o_src(t), 1)] = rv[None]
+                                regs_ref[pl.ds(out, 1)] = rv[None]
                                 return 0
                             lax.fori_loop(0, cnt, inner, 0)
                             return 0
@@ -927,9 +927,7 @@ def _make_pixel_run_kernel(branch_ops, s_cap):
             @pl.when(overflow == 0)
             def _():
                 interp(lambda r: runs_ref[0, 0, r],
-                       lambda t: to_ref[0, 0, t],
-                       lambda t: tl_ref[0, 0, t],
-                       lambda t: tr_ref[0, 0, t],
+                       lambda t: tw_ref[0, 0, t],
                        lambda t: ti_ref[0, 0, t],
                        gmeta_ref[0, 0, 1])
 
@@ -939,9 +937,7 @@ def _make_pixel_run_kernel(branch_ops, s_cap):
                 # interpret the full shared tape (reference behavior: keep
                 # the parent tape, /root/reference/src/context.cu:336-347)
                 interp(lambda r: runsF_ref[r],
-                       lambda t: fo_ref[t],
-                       lambda t: fl_ref[t],
-                       lambda t: fr_ref[t],
+                       lambda t: words_ref[t],
                        lambda t: imms_ref[t],
                        nmeta_ref[6])
 
@@ -969,32 +965,18 @@ def pixel_eval_runs(nmeta, order, status, words, imms, runs_full,
     n_tiles = coords.shape[0]
     P = coords.shape[2]
     p8 = P // 8
-    # pre-decode operand bytes into separate planes (XLA, fused/cheap)
-    fo = (words >> 8) & 0xFF
-    fl = (words >> 16) & 0xFF
-    fr = (words >> 24) & 0xFF
-    to_ = (tw >> 8) & 0xFF
-    tl = (tw >> 16) & 0xFF
-    tr = (tw >> 24) & 0xFF
     kernel = _make_pixel_run_kernel(remap_ops, s_cap)
-
-    def tile_spec():
-        return pl.BlockSpec((1, 1, cap), lambda g, *_: (g, 0, 0),
-                            memory_space=pltpu.SMEM)
-
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(gcap,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # fo (full)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # fl
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # fr
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # words (full)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # imms (full)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # runs_full
-            tile_spec(),                             # to
-            tile_spec(),                             # tl
-            tile_spec(),                             # tr
-            tile_spec(),                             # ti
+            pl.BlockSpec((1, 1, cap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cap), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, rcap), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda g, *_: (g, 0, 0),
@@ -1016,9 +998,8 @@ def pixel_eval_runs(nmeta, order, status, words, imms, runs_full,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, p8), jnp.int32),
         grid_spec=grid,
         interpret=_on_cpu(),
-    )(nmeta, order, status, fo, fl, fr, imms, runs_full,
-      to_[:, None, :], tl[:, None, :], tr[:, None, :], ti[:, None, :],
-      runs[:, None, :], gmeta[:, None, :],
+    )(nmeta, order, status, words, imms, runs_full,
+      tw[:, None, :], ti[:, None, :], runs[:, None, :], gmeta[:, None, :],
       coords.reshape(n_tiles, 3, 8, p8))
     return fill.reshape(n_tiles, P)
 

@@ -272,13 +272,14 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     n_amb = amb.sum().astype(jnp.int32)
 
     # vectorized bit-shift compaction -> per-group run-structured tapes.
-    # cap = Tcap/4 (compacted tapes span 2 of the 8 plane rows): at small
-    # image sizes each tile covers more of the shape and shortens less, so
-    # Tcap/8 overflowed into the full-tape fallback (measured @512).
+    # Per-tile cap: small images shorten less per tile (each tile covers
+    # more of the shape), so they get Tcap/4 (measured @512: Tcap/8
+    # overflowed into the full-tape fallback); large images keep Tcap/8 —
+    # smaller SMEM blocks DMA faster in the pixel kernel.
     # Rows are gathered into `order` order up front so the batched
     # compaction kernel (tpi tiles/instance) applies — 16x fewer grid
     # instances than the order-indirected variant.
-    cap = td.capacity // 4
+    cap = td.capacity // (8 if n_side >= 16 else 4)
     codes_sel = codes[order]
     wrw, irw, rem, lens = _shorten_prepass(codes_sel, td.packed, td.imms,
                                            td.length, remap_j)
