@@ -223,9 +223,11 @@ def cmd_shorten_stats(args):
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
     boxes = _tile_boxes_2d(n_side, jnp.asarray(camera.identity2()),
                            jnp.float32(0.0))
+    s_cap = max(8, -(-td.num_slots // 8) * 8)
     status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
                                              runs_full, boxes,
-                                             branch_ops=branch_ops)
+                                             branch_ops=branch_ops,
+                                             s_cap=s_cap)
     _, _, _, lens = _shorten_prepass(codes, td.packed, td.imms,
                                      td.length, remap_j)
     status = np.asarray(status)
@@ -263,7 +265,8 @@ def cmd_circle_figure(args):
                            jnp.float32(0.0))
     status, _ = kernels.interval_shorten(meta, td.packed, td.imms,
                                          runs_full, boxes,
-                                         branch_ops=branch_ops)
+                                         branch_ops=branch_ops,
+                                         s_cap=max(8, -(-td.num_slots // 8) * 8))
     status = np.asarray(status).reshape(n_side, n_side)
     img = render2d(tape, size=size)
     rgb = np.zeros((size, size, 3), np.uint8)

@@ -167,7 +167,7 @@ def compile_native(tree, schedule: str = "opruns", plan=None):
     else:
         rc = call(0, 0)
     if rc == -1:
-        raise TapeError("tape needs more than 192 slots")
+        raise TapeError("tape needs more than 224 slots")
     if rc != 0:
         return None
     ln = int(o_meta[0])

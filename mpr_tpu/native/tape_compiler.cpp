@@ -47,7 +47,7 @@ enum Op : int32_t {
   ACCMIN_MIN = 32, ACCMIN_MAX = 33, ACCMAX_MIN = 34, ACCMAX_MAX = 35,
 };
 
-constexpr int32_t SLOT_CAP = 192;
+constexpr int32_t SLOT_CAP = 224;
 
 struct Node {
   int32_t fam;

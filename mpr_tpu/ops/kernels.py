@@ -459,7 +459,7 @@ def _make_interval_shorten_kernel(branch_ops):
         def clear_act(s, _):
             act_ref[pl.ds(s, 1)] = cword0[None]
             return 0
-        lax.fori_loop(0, jnp.where(skip, 0, SLOT_CAP), clear_act, 0)
+        lax.fori_loop(0, jnp.where(skip, 0, act_ref.shape[0]), clear_act, 0)
         act_ref[pl.ds(res, 1)] = amb.astype(jnp.int32)[None]
 
         def bwd(i, carry):

@@ -39,10 +39,12 @@ def _heatmap2d_jit(td: TapeData, mat, z, size: int):
     remap_j = jnp.asarray(remap)
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
 
+    s_cap = max(8, -(-td.num_slots // 8) * 8)
     boxes = _tile_boxes_2d(n_side, mat, z)
     status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
                                              runs_full, boxes,
-                                             branch_ops=branch_ops)
+                                             branch_ops=branch_ops,
+                                             s_cap=s_cap)
     _, _, _, lens = _shorten_prepass(codes, td.packed, td.imms,
                                      td.length, remap_j)
     cap = td.capacity // 8
@@ -85,10 +87,12 @@ def _heatmap3d_jit(td: TapeData, mat, size: int):
     heat_xy = jnp.full((n, n), n * float(td.length) / (TILE * TILE),
                        jnp.float32)
 
+    s_cap = max(8, -(-td.num_slots // 8) * 8)
     boxesA = _tile_boxes_3d(n, mat)
     status0, _ = kernels.interval_shorten(meta, td.packed, td.imms,
                                           runs_full, boxesA,
-                                          branch_ops=branch_ops)
+                                          branch_ops=branch_ops,
+                                          s_cap=s_cap)
     amb0 = status0 == ST_AMBIG
     order0 = jnp.argsort(jnp.logical_not(amb0),
                          stable=True)[:p0_cap].astype(jnp.int32)
@@ -107,7 +111,8 @@ def _heatmap3d_jit(td: TapeData, mat, size: int):
     metaB = meta.at[7].set(n_amb0 * 64)
     status1, codes1 = kernels.interval_shorten(metaB, td.packed, td.imms,
                                                runs_full, boxesB,
-                                               branch_ops=branch_ops)
+                                               branch_ops=branch_ops,
+                                               s_cap=s_cap)
     lane = jnp.arange(p0_cap * 64)
     status1 = jnp.where(lane < n_amb0 * 64, status1, ST_EMPTY)
     amb1 = status1 == ST_AMBIG

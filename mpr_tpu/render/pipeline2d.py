@@ -280,10 +280,12 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
     meta = meta.at[6].set(td.num_runs)
 
+    s_cap = max(8, -(-td.num_slots // 8) * 8)
     boxes = _tile_boxes_2d(n_side, mat, z, row0, n_rows, col0, n_cols)
     status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
                                              runs_full, boxes,
-                                             branch_ops=branch_ops)
+                                             branch_ops=branch_ops,
+                                             s_cap=s_cap)
 
     amb = status == ST_AMBIG
     order = jnp.argsort(jnp.logical_not(amb), stable=True).astype(jnp.int32)
@@ -312,7 +314,6 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     runs, gmeta = runs[:n_tiles], gmeta[:n_tiles]
     ti = jax.lax.bitcast_convert_type(ti_bits, jnp.float32)
 
-    s_cap = max(8, -(-td.num_slots // 8) * 8)
     nmeta = meta.at[0].set(n_amb)
     coords = _pixel_coords_2d(n_side, mat, z, row0, n_rows, col0, n_cols)
     # kernel B writes TILE-indexed 0/1 blocks (ambiguous tiles: per-pixel

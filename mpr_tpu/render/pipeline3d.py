@@ -175,7 +175,8 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     boxesA = _tile_boxes_3d(n, mat, row0, n_rows)
     status0, _ = kernels.interval_shorten(meta, td.packed, td.imms,
                                           runs_full, boxesA,
-                                          branch_ops=branch_ops)
+                                          branch_ops=branch_ops,
+                                          s_cap=s_cap)
     st0 = status0.reshape(n, n_rows, n)                  # [tz, ty_l, tx]
     tz_idx = jnp.arange(n, dtype=jnp.int32)[:, None, None]
     h0 = jnp.max(jnp.where(st0 == ST_FILLED, (tz_idx + 1) * TILE, 0),
@@ -196,7 +197,8 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     metaB = meta.at[7].set(n_amb0 * 64)
     status1, codes1 = kernels.interval_shorten(metaB, td.packed, td.imms,
                                                runs_full, boxesB,
-                                               branch_ops=branch_ops)
+                                               branch_ops=branch_ops,
+                                               s_cap=s_cap)
     lane = jnp.arange(p0_cap * 64, dtype=jnp.int32)
     status1 = jnp.where(lane < n_amb0 * 64, status1, ST_EMPTY)
 
@@ -264,7 +266,7 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     boxesD = _column_boxes(n, mat, row0, n_rows)
     _, codesD = kernels.interval_shorten(meta, td.packed, td.imms,
                                          runs_full, boxesD,
-                                         branch_ops=branch_ops)
+                                         branch_ops=branch_ops, s_cap=s_cap)
     blocks = depth.reshape(n_rows, TILE, n, TILE).transpose(0, 2, 1, 3)
     blocks = blocks.reshape(n_cols, TILE * TILE)
     content = (blocks.max(axis=1) > 0)

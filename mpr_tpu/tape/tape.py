@@ -11,7 +11,7 @@ TPU-first divergences (deliberate, documented):
     instead of packed uint64 words — XLA wants typed arrays, and keeping
     ``imms`` separate makes the constants a differentiable parameter vector.
     ``pack_words()`` produces the reference's packed layout for parity dumps.
-  * Slot count is hard-capped at ``SLOT_CAP`` (=128): the reference allows 255
+  * Slot count is hard-capped at ``SLOT_CAP``: the reference allows 255
     slots (/root/reference/src/tape.cpp:79) but its kernels only allocate 128
     registers (/root/reference/src/context.cu:210) — a latent overflow we fix
     by failing loudly (SURVEY.md section 7 quirk list).
@@ -29,7 +29,7 @@ import numpy as np
 from ..frontend.tree import Tree, CONSTANT, VAR_X, VAR_Y, VAR_Z, UNARY_OPS
 from .opcodes import Op
 
-SLOT_CAP = 192
+SLOT_CAP = 224
 
 # Frontend op name -> GPU opcode family.
 _UNARY_GPU = {
