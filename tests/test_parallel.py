@@ -13,6 +13,10 @@ from pathlib import Path
 
 import pytest
 
+# Every test here pays a multi-minute 8-device XLA CPU compile in a
+# subprocess; the default profile skips them (tests/conftest.py --runslow).
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 
