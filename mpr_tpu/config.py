@@ -30,6 +30,14 @@ class Config:
     tpi: int = 16
     # -- kernel A lane blocking ---------------------------------------------
     block_lanes: int = 512
+    # -- interval semantics ---------------------------------------------------
+    # False (default) preserves the reference quirk: interval sin/cos are
+    # always [-1, 1] (/root/reference/inc/gpu_interval.hpp:346-380, dead
+    # code after the early return).  True uses the tight ranges
+    # (interval_math.i_sin_tight/i_cos_tight) in the oracle and the
+    # unrolled engine; the Pallas interpreter engine always keeps the
+    # quirk (its shortening-parity tests pin the reference semantics).
+    tight_sincos: bool = False
 
 
 _active = Config()

@@ -184,3 +184,32 @@ def i_acos(xp, al, ah):
 
 def i_atan(xp, al, ah):
     return xp.arctan(al), xp.arctan(ah)
+
+
+def i_sin_tight(xp, al, ah):
+    """Tight interval sine (NOT the reference quirk; enabled by
+    ``config.tight_sincos`` in the oracle and the unrolled engine).
+
+    Endpoint values, widened to -1/+1 when the interval contains a
+    maximum (pi/2 + 2*pi*k) / minimum (-pi/2 + 2*pi*k).  Rounded-to-
+    nearest like everything else here (SURVEY.md section 7 divergence)."""
+    import math
+    hpi, tau = math.pi / 2.0, 2.0 * math.pi
+    has_max = xp.floor((ah - hpi) / tau) >= xp.ceil((al - hpi) / tau)
+    has_min = xp.floor((ah + hpi) / tau) >= xp.ceil((al + hpi) / tau)
+    sa, sb = xp.sin(al), xp.sin(ah)
+    lo = xp.where(has_min, -1.0, xp.minimum(sa, sb))
+    hi = xp.where(has_max, 1.0, xp.maximum(sa, sb))
+    return lo, hi
+
+
+def i_cos_tight(xp, al, ah):
+    """Tight interval cosine: max at 2*pi*k, min at pi + 2*pi*k."""
+    import math
+    pi, tau = math.pi, 2.0 * math.pi
+    has_max = xp.floor(ah / tau) >= xp.ceil(al / tau)
+    has_min = xp.floor((ah - pi) / tau) >= xp.ceil((al - pi) / tau)
+    ca, cb = xp.cos(al), xp.cos(ah)
+    lo = xp.where(has_min, -1.0, xp.minimum(ca, cb))
+    hi = xp.where(has_max, 1.0, xp.maximum(ca, cb))
+    return lo, hi

@@ -48,6 +48,7 @@ _NAN = np.float32(np.nan)
 
 from functools import partial as _partial
 
+from . import config as _config
 from .ops import interval_math as _im
 
 i_add = _partial(_im.i_add, np)
@@ -208,6 +209,10 @@ def eval_i(tape: Tape, xl, xh, yl, yh, zl=None, zh=None
             iml = np.full_like(al, imm)
             if op == Op.SQUARE_LHS:
                 lo[o], hi[o] = i_square(al, ah)
+            elif op == Op.SIN_LHS and _config.get().tight_sincos:
+                lo[o], hi[o] = _im.i_sin_tight(np, al, ah)
+            elif op == Op.COS_LHS and _config.get().tight_sincos:
+                lo[o], hi[o] = _im.i_cos_tight(np, al, ah)
             elif op == Op.SQRT_LHS:
                 lo[o], hi[o] = i_sqrt(al, ah)
             elif op == Op.NEG_LHS:

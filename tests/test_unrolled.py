@@ -1,0 +1,227 @@
+"""Unrolled engine: per-shape-compiled staged renderer (render/unrolled.py).
+
+The brute renderers are the correctness backstop (the reference's three-way
+consistency protocol, /root/reference/benchmark/brute.cu:101-155); both
+engines evaluate the identical unrolled float chain, so staged-vs-brute is
+expected to be BIT-exact — culling must never change a pixel."""
+
+import numpy as np
+import pytest
+
+from mpr_tpu import config, oracle
+from mpr_tpu.frontend import frep, shapes
+from mpr_tpu.ops import unrolled_eval as ue
+from mpr_tpu.render import brute, camera, unrolled
+from mpr_tpu.tape.tape import compile_tree
+
+
+@pytest.fixture(scope="module")
+def spheres_tape():
+    t = shapes.union(shapes.sphere(0.6, cx=-0.2),
+                     shapes.sphere(0.4, cx=0.5, cy=0.3))
+    return compile_tree(t)
+
+
+def _model_tape(name):
+    t = frep.load(f"/root/reference/benchmark/files/{name}.frep")[0].tree
+    return compile_tree(t)
+
+
+# ---------------------------------------------------------------------------
+# evaluator builders vs the NumPy oracle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["hello_world", "involute_gear_2d", "bear"])
+def test_float_matches_oracle(name):
+    tape = _model_tape(name)
+    rng = np.random.RandomState(0)
+    x, y, z = (rng.uniform(-1, 1, 1500).astype(np.float32) for _ in range(3))
+    v = np.asarray(ue.build_float(tape)(x, y, z))
+    vo = oracle.eval_f(tape, x, y, z)
+    m = np.isfinite(vo)
+    assert (np.isfinite(v) == m).all()
+    np.testing.assert_allclose(v[m], vo[m], rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["hello_world", "bear"])
+def test_deriv_matches_oracle(name):
+    tape = _model_tape(name)
+    rng = np.random.RandomState(1)
+    x, y, z = (rng.uniform(-1, 1, 1000).astype(np.float32) for _ in range(3))
+    got = [np.asarray(a) for a in ue.build_deriv(tape)(x, y, z)]
+    want = oracle.eval_d(tape, x, y, z)
+    # bear's exp/log blend chains amplify f32 fusion-order noise
+    rtol, atol = (1e-2, 1e-3) if name == "bear" else (2e-3, 2e-4)
+    for k in range(4):
+        m = np.isfinite(want[k]) & np.isfinite(want[0])
+        np.testing.assert_allclose(got[k][m], want[k][m], rtol=rtol,
+                                   atol=atol)
+
+
+@pytest.mark.parametrize("name", ["hello_world", "involute_gear_2d",
+                                  "architecture"])
+def test_interval_soundness(name):
+    """Random point in box => f(point) in interval(box) (SURVEY.md §4).
+    bear is excluded: the REFERENCE log quirk itself is unsound there
+    (interval_math.i_log docstring), which the oracle test suite already
+    pins."""
+    tape = _model_tape(name)
+    fi = ue.build_interval(tape)
+    rng = np.random.RandomState(2)
+    c = rng.uniform(-1, 1, (3, 400)).astype(np.float32)
+    w = rng.uniform(0, 0.3, (3, 400)).astype(np.float32)
+    lo, hi = (np.asarray(a) for a in fi(c[0] - w[0], c[0] + w[0],
+                                        c[1] - w[1], c[1] + w[1],
+                                        c[2] - w[2], c[2] + w[2]))
+    for _ in range(10):
+        u = rng.uniform(-1, 1, (3, 400)).astype(np.float32)
+        p = c + u * w
+        pv = oracle.eval_f(tape, p[0], p[1], p[2])
+        ok = (~np.isfinite(pv) | ~np.isfinite(lo) | ~np.isfinite(hi)
+              | ((pv >= lo - 1e-4) & (pv <= hi + 1e-4)))
+        assert ok.all()
+
+
+def test_interval_classification_matches_oracle():
+    """Same empty/filled/ambiguous decisions as the oracle interpreter."""
+    tape = _model_tape("bear")
+    fi = ue.build_interval(tape)
+    rng = np.random.RandomState(3)
+    c = rng.uniform(-1, 1, (3, 500)).astype(np.float32)
+    w = rng.uniform(0, 0.4, (3, 500)).astype(np.float32)
+    args = [c[0] - w[0], c[0] + w[0], c[1] - w[1], c[1] + w[1],
+            c[2] - w[2], c[2] + w[2]]
+    lo_u, hi_u = (np.asarray(a) for a in fi(*args))
+    lo_o, hi_o, _ = oracle.eval_i(tape, *args)
+
+    def cls(lo, hi):
+        return np.where(lo > 0, 0, np.where(hi < 0, 1, 2))
+    # unrolled may be (rarely) wider, never unsoundly narrower: any
+    # disagreement must classify ambiguous on the unrolled side
+    cu, co = cls(lo_u, hi_u), cls(lo_o, hi_o)
+    diff = cu != co
+    assert (cu[diff] == 2).all()
+    assert diff.mean() < 0.02
+
+
+def test_tight_sincos_flag():
+    """config.tight_sincos flips sin/cos intervals from the reference quirk
+    (always [-1,1], /root/reference/inc/gpu_interval.hpp:346-380) to tight
+    ranges; cross-checked oracle vs unrolled (SURVEY.md §7 quirk list)."""
+    from mpr_tpu.frontend import tree as T
+    tape = compile_tree(T.sin(T.x()))
+    xl = np.asarray([0.1, 0.0], np.float32)
+    xh = np.asarray([0.2, 7.0], np.float32)
+    yl = yh = zl = zh = np.zeros(2, np.float32)
+    # quirk mode: always [-1, 1]
+    lo, hi, _ = oracle.eval_i(tape, xl, xh, yl, yh, zl, zh)
+    np.testing.assert_allclose(lo, -1.0)
+    np.testing.assert_allclose(hi, 1.0)
+    with config.override(tight_sincos=True):
+        lo, hi, _ = oracle.eval_i(tape, xl, xh, yl, yh, zl, zh)
+        # [0.1, 0.2]: monotonic -> endpoint values
+        np.testing.assert_allclose(lo[0], np.sin(0.1), rtol=1e-6)
+        np.testing.assert_allclose(hi[0], np.sin(0.2), rtol=1e-6)
+        # [0, 7] contains both extrema
+        np.testing.assert_allclose(lo[1], -1.0)
+        np.testing.assert_allclose(hi[1], 1.0)
+        fi = ue.build_interval(tape)
+        lo_u, hi_u = (np.asarray(a) for a in
+                      fi(xl, xh, yl, yh, zl, zh))
+        np.testing.assert_allclose(lo_u, lo, rtol=1e-6)
+        np.testing.assert_allclose(hi_u, hi, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# staged renders vs brute (bit-exact)
+# ---------------------------------------------------------------------------
+
+def test_render2d_circle_exact():
+    tape = compile_tree(shapes.circle(0.7))
+    assert (unrolled.render2d(tape, size=256)
+            == brute.render2d_brute(tape, size=256)).all()
+
+
+@pytest.mark.parametrize("name", ["hello_world", "involute_gear_2d"])
+def test_render2d_models_exact(name):
+    tape = _model_tape(name)
+    assert (unrolled.render2d(tape, size=256)
+            == brute.render2d_brute(tape, size=256)).all()
+
+
+def test_render2d_camera_exact():
+    tape = _model_tape("hello_world")
+    mat = camera.scale2(0.6)
+    mat[0, 2] = 0.2
+    assert (unrolled.render2d(tape, mat=mat, size=256)
+            == brute.render2d_brute(tape, mat=mat, size=256)).all()
+
+
+def test_render3d_spheres_exact(spheres_tape):
+    d_u, n_u = unrolled.render3d(spheres_tape, size=128)
+    d_b = brute.render3d_brute(spheres_tape, size=128)
+    assert (d_u == d_b).all()
+    assert np.isfinite(n_u).all()
+    # filled pixels carry unit normals, empty pixels zero
+    filled = d_u > 0
+    norms = np.linalg.norm(n_u, axis=-1)
+    np.testing.assert_allclose(norms[filled], 1.0, atol=1e-5)
+    assert (norms[~filled] == 0).all()
+
+
+def test_render3d_rotated_exact(spheres_tape):
+    m = camera.gui3d_view()
+    d_u, _ = unrolled.render3d(spheres_tape, mat=m, size=128,
+                               with_normals=False)
+    assert (d_u == brute.render3d_brute(spheres_tape, mat=m,
+                                        size=128)).all()
+
+
+def test_render3d_normals_point_outward(spheres_tape):
+    d, n = unrolled.render3d(spheres_tape, size=128)
+    # the big sphere's center column: normal should be ~ +z toward viewer
+    cy, cx = 64, int((0.8 / 2) * 128)  # x = -0.2 -> px ~ 51
+    assert d[cy, cx] > 0
+    assert n[cy, cx, 2] > 0.9
+
+
+def test_overflow_retry_never_drops_geometry(spheres_tape):
+    """Force tiny caps via the observation cache: the retry loop must grow
+    them and still produce the exact image (the reference's
+    realloc-on-overflow invariant, /root/reference/src/context.cu:1219)."""
+    r = unrolled.UnrolledRenderer(spheres_tape)
+    r._obs[("3d", 128)] = (1, 1, 1, 1)   # absurdly small -> guaranteed overflow
+    d_u, _ = r.render3d(size=128, with_normals=False)
+    assert (d_u == brute.render3d_brute(spheres_tape, size=128)).all()
+    r._obs[("2d", 128)] = (1, 1)
+    img = r.render2d(size=128)
+    assert (img == brute.render2d_brute(spheres_tape, size=128)).all()
+
+
+def test_render2d_grad_through_pipeline():
+    """d(pixel values)/d(imms) through the unrolled evaluator matches the
+    scan interpreter's gradients (BASELINE pixel-gradient requirement)."""
+    import jax
+    import jax.numpy as jnp
+    from mpr_tpu.ops import eval_scan
+    from mpr_tpu.ops.tape_data import TapeData
+
+    tape = compile_tree(shapes.circle(0.55))
+    f = ue.build_float(tape, take_imms=True)
+    td = TapeData.from_tape(tape)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.uniform(-1, 1, 64).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, 64).astype(np.float32))
+    z = jnp.zeros_like(x)
+
+    g_unrolled = jax.grad(
+        lambda im_: jnp.sum(f(x, y, z, im_) ** 2))(jnp.asarray(tape.imms))
+
+    def loss_scan(im_):
+        padded = jnp.zeros((td.capacity,), jnp.float32).at[
+            :tape.length].set(im_)
+        return jnp.sum(eval_scan.eval_f(td.replace_imms(padded),
+                                        x, y, z) ** 2)
+    g_scan = jax.grad(loss_scan)(jnp.asarray(tape.imms))
+    np.testing.assert_allclose(np.asarray(g_unrolled), np.asarray(g_scan),
+                               rtol=1e-4, atol=1e-5)
