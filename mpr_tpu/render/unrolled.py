@@ -72,17 +72,36 @@ def _classify(lo, hi):
 def _compact_ids(mask, cap: int):
     """Stable stream compaction: lane ids where ``mask`` into a (cap,)
     buffer (the ``assign_next_nodes`` analog,
-    /root/reference/src/context.cu:512-551, as one cumsum + scatter).
+    /root/reference/src/context.cu:512-551).
+
+    XLA TPU scatters cost ~7 ns per index (measured), so this uses the
+    binary left-move algorithm from ops/kernels.py kernel C v2 instead:
+    each kept id moves left by (# dropped before it) in log2(n) circular
+    rolls — collision-free because the move distance is monotone (see
+    the proof sketch at ops/kernels.py:1099).  Pure roll/where passes:
+    ~6 arrays of bandwidth per pass, no scatter.
 
     Returns (ids, count): count is exact and may exceed cap — the host
-    checks it for the overflow-retry; ids past min(count, cap) are 0 and
-    must be masked by the caller."""
-    m = mask.astype(jnp.int32)
-    pos = jnp.cumsum(m) - 1
-    src = jnp.arange(mask.shape[0], dtype=jnp.int32)
-    tgt = jnp.where(mask & (pos < cap), pos, cap)
-    ids = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(src)
-    return ids[:cap], jnp.sum(m)
+    checks it for the overflow-retry; ids past min(count, cap) are
+    garbage and must be masked by the caller."""
+    n = mask.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    ids = jnp.where(mask, iota, 0)
+    rem = jnp.where(mask, iota - (cs - 1), 0)
+    for k in range(max(1, (n - 1).bit_length())):
+        s = 1 << k
+        if s >= n:
+            break
+        ids_sh = jnp.roll(ids, -s)
+        rem_sh = jnp.roll(rem, -s)
+        arrive = ((rem_sh >> k) & 1) == 1
+        moved = ((rem >> k) & 1) == 1
+        ids = jnp.where(arrive, ids_sh, ids)
+        rem = jnp.where(arrive, rem_sh - s, jnp.where(moved, 0, rem))
+    if cap > n:
+        ids = jnp.pad(ids, (0, cap - n))
+    return ids[:cap], cs[-1]
 
 
 def _axis_box(idx, ngrid: int):
@@ -115,8 +134,14 @@ def _mat3_interval(mat, xl, xh, yl, yh):
 # ---------------------------------------------------------------------------
 
 def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
+    """2D ladder.  Index discipline (measured XLA TPU pathologies,
+    docs/perf_notes.md round-2): never build per-lane chained gathers
+    (``arr[ids[L // 64]]`` costs ~15 ns/lane); gather ONCE per cell and
+    expand to lanes by broadcasting.  Never scatter per-pixel (~7 ns per
+    scatter index); scatter 64-wide block rows."""
     n64 = size // 64
     n8 = size // 8
+    barrier = jax.lax.optimization_barrier
 
     # ---- stage 1: 64px tiles (t = ty*n64 + tx) ---------------------------
     t = jnp.arange(n64 * n64, dtype=jnp.int32)
@@ -126,51 +151,57 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
     zc = jnp.full_like(bxl, z)
     lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
     st64 = _classify(lo, hi)
-    ids64, n64a = _compact_ids(st64 == ST_AMBIG, p64)
-    ok64 = jnp.minimum(n64a, p64)
+    ids64, n64a = barrier(_compact_ids(st64 == ST_AMBIG, p64))
 
     # ---- stage 2: 8px children (c = cy*8 + cx) ---------------------------
-    L = jnp.arange(p64 * 64, dtype=jnp.int32)
-    par = ids64[L // 64]
-    c = L % 64
-    gx8 = (par % n64) * 8 + c % 8
-    gy8 = (par // n64) * 8 + c // 8
+    # per-parent coordinates, lanes by broadcast
+    tx_p = ids64 % n64
+    ty_p = ids64 // n64
+    c = jnp.arange(64, dtype=jnp.int32)
+    gx8 = (tx_p[:, None] * 8 + (c % 8)[None, :]).reshape(-1)
+    gy8 = (ty_p[:, None] * 8 + (c // 8)[None, :]).reshape(-1)
     xl, xh = _axis_box(gx8, n8)
     yl, yh = _axis_box(gy8, n8)
     bxl, bxh, byl, byh = _mat3_interval(mat, xl, xh, yl, yh)
     zc = jnp.full_like(bxl, z)
     lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
-    lane_ok = L < ok64 * 64
+    lane_ok = jnp.arange(p64 * 64, dtype=jnp.int32) < (
+        jnp.minimum(n64a, p64) * 64)
     st8c = jnp.where(lane_ok, _classify(lo, hi), ST_EMPTY)
-    ids8, n8a = _compact_ids(st8c == ST_AMBIG, p8)
-    ok8 = jnp.minimum(n8a, p8)
+    ids8, n8a = barrier(_compact_ids(st8c == ST_AMBIG, p8))
 
     # ---- stage 3: pixels of ambiguous 8px tiles --------------------------
-    M = jnp.arange(p8 * 64, dtype=jnp.int32)
-    chl = ids8[M // 64]          # child-lane id into stage-2 arrays
-    p = M % 64
-    gpx = gx8[chl] * 8 + p % 8
-    gpy = gy8[chl] * 8 + p // 8
+    gx8_c = barrier(gx8[ids8])          # one gather layer per stage
+    gy8_c = barrier(gy8[ids8])
+    p = jnp.arange(64, dtype=jnp.int32)
+    gpx = (gx8_c[:, None] * 8 + (p % 8)[None, :]).reshape(-1)
+    gpy = (gy8_c[:, None] * 8 + (p // 8)[None, :]).reshape(-1)
     fx = ((gpx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fy = ((gpy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     px_, py_ = camera.transform2(mat, fx, fy, jnp)
     v = f(px_, py_, jnp.full_like(px_, z))
-    px_ok = M < ok8 * 64
-    fillpx = (v < 0.0) & px_ok
+    px_ok = jnp.arange(p8 * 64, dtype=jnp.int32) < (
+        jnp.minimum(n8a, p8) * 64)
+    fillpx = ((v < 0.0) & px_ok).reshape(p8, 64)
 
-    # ---- composition ------------------------------------------------------
-    # 8px status image: parents' statuses upsampled, ambiguous parents'
-    # children overwritten with their own statuses
-    st8img = jnp.repeat(jnp.repeat(st64.reshape(n64, n64), 8, 0), 8, 1)
-    flat8 = jnp.where(lane_ok, gy8 * n8 + gx8, n8 * n8)
-    st8img = st8img.reshape(-1)
-    st8img = jnp.zeros((n8 * n8 + 1,), jnp.int32).at[:n8 * n8].set(
-        st8img).at[flat8].set(st8c)[:n8 * n8]
-    img = jnp.repeat(jnp.repeat((st8img == ST_FILLED).reshape(n8, n8), 8, 0),
-                     8, 1).reshape(-1)
-    flatp = jnp.where(px_ok, gpy * size + gpx, size * size)
-    img = jnp.concatenate([img, jnp.zeros((1,), img.dtype)])
-    img = img.at[flatp].set(fillpx)[:size * size]
+    # ---- composition: image as (n8^2, 64) 8px-block rows -------------------
+    # base: parent statuses upsampled; ambiguous parents' children take
+    # their own statuses (the copy_filled_2d upsample analog,
+    # /root/reference/src/context.cu:664-692)
+    stblk = jnp.broadcast_to(st64[:, None], (n64 * n64, 64))
+    rowpar = jnp.where(jnp.arange(p64) < jnp.minimum(n64a, p64),
+                       ids64, n64 * n64)
+    stblk = jnp.concatenate([stblk, jnp.zeros((1, 64), jnp.int32)])
+    stblk = stblk.at[rowpar].set(st8c.reshape(p64, 64),
+                                 mode="drop")[:n64 * n64]
+    st8img = stblk.reshape(n64, n64, 8, 8).transpose(0, 2, 1, 3).reshape(-1)
+    blocks = jnp.broadcast_to((st8img == ST_FILLED)[:, None],
+                              (n8 * n8, 64))
+    rowp = jnp.where(jnp.arange(p8) < jnp.minimum(n8a, p8),
+                     gy8_c * n8 + gx8_c, n8 * n8)
+    blocks = jnp.concatenate([blocks, jnp.zeros((1, 64), blocks.dtype)])
+    blocks = blocks.at[rowp].set(fillpx, mode="drop")[:n8 * n8]
+    img = blocks.reshape(n8, n8, 8, 8).transpose(0, 2, 1, 3)
     counters = jnp.stack([n64a, n8a])
     return img.reshape(size, size), counters
 
@@ -186,125 +217,203 @@ def _cell_boxes_3d(mat, gx, gy, gz, ngrid: int):
     return _mat4_interval(mat, xl, xh, yl, yh, zl, zh)
 
 
+def _unblock(blocks, nb: int, bs: int):
+    """(nb*nb, bs*bs) row-blocked image -> (nb*bs, nb*bs), inner index
+    iy*bs + ix."""
+    return blocks.reshape(nb, nb, bs, bs).transpose(0, 2, 1, 3).reshape(
+        nb * bs, nb * bs)
+
+
+def _row_max(blocks, rows, patch, nrows: int):
+    """Scatter-max (C, W) patches into (nrows, W) block rows; rows may
+    repeat (painter's-algorithm depth composition as row-blocked
+    scatter — scalar scatters cost ~7 ns/index on TPU, rows amortize W
+    indices into one)."""
+    blocks = jnp.concatenate(
+        [blocks, jnp.zeros((1, blocks.shape[1]), blocks.dtype)])
+    return blocks.at[rows].max(patch, mode="drop")[:nrows]
+
+
 def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
-                   pn: int, with_normals: bool):
+                   pn: int, with_normals: bool, skip4: bool = False):
+    """3D ladder 64^3 -> 16^3 -> 4^3 -> voxel (the reference's full stage
+    list, /root/reference/src/context.cpp:21-26), with occlusion culling
+    between every stage (mask_filled_tiles analog,
+    /root/reference/src/context.cu:471-495) via granularity-matched
+    heightmap block images.  Same index discipline as _render2d_impl."""
     n = size // 64
+    barrier = jax.lax.optimization_barrier
+    c4 = jnp.arange(64, dtype=jnp.int32)
+    cx4, cy4, cz4 = c4 % 4, (c4 // 4) % 4, c4 // 16
 
     # ---- stage A: 64^3 tiles, t = (tz*n + ty)*n + tx ----------------------
     t = jnp.arange(n * n * n, dtype=jnp.int32)
     tx, ty, tz = t % n, (t // n) % n, t // (n * n)
-    b = _cell_boxes_3d(mat, tx, ty, tz, n)
-    lo, hi = fi(*b)
+    lo, hi = fi(*_cell_boxes_3d(mat, tx, ty, tz, n))
     st0 = _classify(lo, hi)
-    # heightmap (ty, tx) of filled-tile top depth values ((tz+1)*64: depth
-    # image convention is top filled voxel index + 1)
+    # heightmap (ty*n+tx,) of filled-tile top depth values ((tz+1)*64:
+    # depth image convention is top filled voxel index + 1)
     h0 = jnp.max(jnp.where((st0 == ST_FILLED).reshape(n, n, n),
                            (jnp.arange(n, dtype=jnp.int32) + 1)[:, None,
                                                                 None] * 64,
-                           0), axis=0)
-    occl0 = (tz + 1) * 64 <= h0.reshape(-1)[ty * n + tx]
-    ids0, n0 = _compact_ids((st0 == ST_AMBIG) & ~occl0, p0)
-    ok0 = jnp.minimum(n0, p0)
+                           0), axis=0).reshape(-1)
+    occl0 = (tz + 1) * 64 <= h0[ty * n + tx]
+    ids0, n0 = barrier(_compact_ids((st0 == ST_AMBIG) & ~occl0, p0))
 
-    # ---- stage B: 16^3 children, c = (cz*4 + cy)*4 + cx -------------------
-    L = jnp.arange(p0 * 64, dtype=jnp.int32)
-    par = ids0[L // 64]
-    c = L % 64
-    g16x = (par % n) * 4 + c % 4
-    g16y = ((par // n) % n) * 4 + (c // 4) % 4
-    g16z = (par // (n * n)) * 4 + c // 16
-    b = _cell_boxes_3d(mat, g16x, g16y, g16z, 4 * n)
-    lo, hi = fi(*b)
-    okB = L < ok0 * 64
+    # ---- stage B: 16^3 children (c = (cz*4+cy)*4 + cx) --------------------
+    txp, typ, tzp = ids0 % n, (ids0 // n) % n, ids0 // (n * n)
+    g16x = (txp[:, None] * 4 + cx4[None, :]).reshape(-1)
+    g16y = (typ[:, None] * 4 + cy4[None, :]).reshape(-1)
+    g16z = (tzp[:, None] * 4 + cz4[None, :]).reshape(-1)
+    lo, hi = fi(*_cell_boxes_3d(mat, g16x, g16y, g16z, 4 * n))
+    okB = jnp.arange(p0 * 64) < jnp.minimum(n0, p0) * 64
     st1 = jnp.where(okB, _classify(lo, hi), ST_EMPTY)
-    h16 = jnp.repeat(jnp.repeat(h0, 4, 0), 4, 1).reshape(-1)
-    top1 = (g16z + 1) * 16
-    flat16 = jnp.where(okB, g16y * (4 * n) + g16x, 16 * n * n)
-    h16 = jnp.concatenate([h16, jnp.zeros((1,), h16.dtype)])
-    h16 = h16.at[flat16].max(
-        jnp.where(st1 == ST_FILLED, top1, 0))[:16 * n * n]
-    occl1 = top1 <= h16[jnp.minimum(g16y * (4 * n) + g16x,
-                                    16 * n * n - 1)]
-    ids1, n1 = _compact_ids((st1 == ST_AMBIG) & ~occl1, c1)
-    ok1 = jnp.minimum(n1, c1)
 
-    # ---- stage B': 4^3 children ------------------------------------------
-    L2 = jnp.arange(c1 * 64, dtype=jnp.int32)
-    cel = ids1[L2 // 64]
-    c = L2 % 64
-    g4x = g16x[cel] * 4 + c % 4
-    g4y = g16y[cel] * 4 + (c // 4) % 4
-    g4z = g16z[cel] * 4 + c // 16
-    b = _cell_boxes_3d(mat, g4x, g4y, g4z, 16 * n)
-    lo, hi = fi(*b)
-    okC = L2 < ok1 * 64
+    # h16 block image: row = parent xy tile (ty*n+tx), inner = cy*4+cx
+    st1r = st1.reshape(p0, 4, 4, 4)                       # [cz, cy, cx]
+    top1r = ((tzp[:, None] * 4 + jnp.arange(4)[None, :]) + 1) * 16
+    patch16 = jnp.max(jnp.where(st1r == ST_FILLED,
+                                top1r[:, :, None, None], 0),
+                      axis=1).reshape(p0, 16)
+    rows_p = jnp.where(jnp.arange(p0) < jnp.minimum(n0, p0),
+                       typ * n + txp, n * n)
+    h16blk = _row_max(jnp.broadcast_to(h0[:, None], (n * n, 16)),
+                      rows_p, patch16, n * n)
+    hb = h16blk[jnp.minimum(rows_p, n * n - 1)].reshape(p0, 1, 4, 4)
+    occl1 = (top1r[:, :, None, None] <= hb).reshape(-1)
+    ids1, n1 = barrier(_compact_ids((st1 == ST_AMBIG) & ~occl1, c1))
+
+    g16x_c = barrier(g16x[ids1])
+    g16y_c = barrier(g16y[ids1])
+    g16z_c = barrier(g16z[ids1])
+
+    if skip4:
+        # Interval-hostile models (bear: EXP blends leave ~45% of 4^3
+        # children ambiguous at 1024) spend more on the 4^3 interval
+        # stage than it saves at the voxel stage; evaluate the 16^3
+        # cells' 4096 voxels directly instead (the host picks this per
+        # model from observed counts, render3d below).
+        vv = jnp.arange(4096, dtype=jnp.int32)
+        vx16, vy16 = vv % 16, (vv // 16) % 16
+        gvx = (g16x_c[:, None] * 16 + vx16[None, :]).reshape(-1)
+        gvy = (g16y_c[:, None] * 16 + vy16[None, :]).reshape(-1)
+        gvz = (g16z_c[:, None] * 16 + (vv // 256)[None, :]).reshape(-1)
+        fx = ((gvx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
+        fy = ((gvy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
+        fz = ((gvz.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
+        wx, wy, wz = camera.transform3(mat, fx, fy, fz, jnp)
+        val = f(wx, wy, wz)
+        okV = jnp.arange(c1 * 4096) < jnp.minimum(n1, c1) * 4096
+        hitr = jnp.where((val < 0.0).reshape(c1, 16, 256)
+                         & okV.reshape(c1, 16, 256),
+                         (g16z_c[:, None] * 16 + jnp.arange(16)[None, :]
+                          + 1)[:, :, None], 0)
+        patchv = jnp.max(hitr, axis=1)                    # (c1, 256)
+        rows_v = jnp.where(jnp.arange(c1) < jnp.minimum(n1, c1),
+                           g16y_c * (4 * n) + g16x_c, 16 * n * n)
+        h16flat = _unblock(h16blk, n, 4).reshape(-1)
+        dblk = _row_max(jnp.broadcast_to(h16flat[:, None],
+                                         (16 * n * n, 256)),
+                        rows_v, patchv, 16 * n * n)
+        depth = _unblock(dblk, 4 * n, 16)
+        counters = jnp.stack([n0, n1, jnp.int32(0), jnp.int32(0)])
+        if not with_normals:
+            return depth, None, counters
+        return _normals_pass(fd, mat, depth, size, pn,
+                             jnp.stack([n0, n1, jnp.int32(0),
+                                        jnp.int32(0)]))
+
+    # ---- stage B': 4^3 children -------------------------------------------
+    g4x = (g16x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
+    g4y = (g16y_c[:, None] * 4 + cy4[None, :]).reshape(-1)
+    g4z = (g16z_c[:, None] * 4 + cz4[None, :]).reshape(-1)
+    lo, hi = fi(*_cell_boxes_3d(mat, g4x, g4y, g4z, 16 * n))
+    okC = jnp.arange(c1 * 64) < jnp.minimum(n1, c1) * 64
     st2 = jnp.where(okC, _classify(lo, hi), ST_EMPTY)
-    n4 = 16 * n
-    h4 = jnp.repeat(jnp.repeat(h16.reshape(4 * n, 4 * n), 4, 0),
-                    4, 1).reshape(-1)
-    top2 = (g4z + 1) * 4
-    flat4 = jnp.where(okC, g4y * n4 + g4x, n4 * n4)
-    h4 = jnp.concatenate([h4, jnp.zeros((1,), h4.dtype)])
-    h4 = h4.at[flat4].max(jnp.where(st2 == ST_FILLED, top2, 0))[:n4 * n4]
-    occl2 = top2 <= h4[jnp.minimum(g4y * n4 + g4x, n4 * n4 - 1)]
-    ids2, n2 = _compact_ids((st2 == ST_AMBIG) & ~occl2, c2)
-    ok2 = jnp.minimum(n2, c2)
+
+    # h4 block image: row = 16px texel (g16y*(4n)+g16x), inner = cy*4+cx
+    st2r = st2.reshape(c1, 4, 4, 4)
+    top2r = ((g16z_c[:, None] * 4 + jnp.arange(4)[None, :]) + 1) * 4
+    patch4 = jnp.max(jnp.where(st2r == ST_FILLED,
+                               top2r[:, :, None, None], 0),
+                     axis=1).reshape(c1, 16)
+    rows_c = jnp.where(jnp.arange(c1) < jnp.minimum(n1, c1),
+                       g16y_c * (4 * n) + g16x_c, 16 * n * n)
+    h16flat = _unblock(h16blk, n, 4).reshape(-1)
+    h4blk = _row_max(jnp.broadcast_to(h16flat[:, None], (16 * n * n, 16)),
+                     rows_c, patch4, 16 * n * n)
+    hb = h4blk[jnp.minimum(rows_c, 16 * n * n - 1)].reshape(c1, 1, 4, 4)
+    occl2 = (top2r[:, :, None, None] <= hb).reshape(-1)
+    ids2, n2 = barrier(_compact_ids((st2 == ST_AMBIG) & ~occl2, c2))
 
     # ---- voxel stage: 64 voxels per ambiguous 4^3 cell ---------------------
-    V = jnp.arange(c2 * 64, dtype=jnp.int32)
-    cel4 = ids2[V // 64]
-    v_ = V % 64
-    gvx = g4x[cel4] * 4 + v_ % 4
-    gvy = g4y[cel4] * 4 + (v_ // 4) % 4
-    gvz = g4z[cel4] * 4 + v_ // 16
+    g4x_c = barrier(g4x[ids2])
+    g4y_c = barrier(g4y[ids2])
+    g4z_c = barrier(g4z[ids2])
+    gvx = (g4x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
+    gvy = (g4y_c[:, None] * 4 + cy4[None, :]).reshape(-1)
+    gvz = (g4z_c[:, None] * 4 + cz4[None, :]).reshape(-1)
     fx = ((gvx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fy = ((gvy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fz = ((gvz.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     wx, wy, wz = camera.transform3(mat, fx, fy, fz, jnp)
     val = f(wx, wy, wz)
-    okV = V < ok2 * 64
-    hit = jnp.where((val < 0.0) & okV, gvz + 1, 0)
+    okV = jnp.arange(c2 * 64) < jnp.minimum(n2, c2) * 64
+    hitr = jnp.where((val < 0.0).reshape(c2, 4, 4, 4)
+                     & okV.reshape(c2, 4, 4, 4),
+                     (g4z_c[:, None] * 4 + jnp.arange(4)[None, :]
+                      + 1)[:, :, None, None], 0)
+    patchv = jnp.max(hitr, axis=1).reshape(c2, 16)
 
-    # ---- depth composition -------------------------------------------------
-    depth = jnp.repeat(jnp.repeat(h4.reshape(n4, n4), 4, 0), 4, 1).reshape(-1)
-    flatv = jnp.where(okV, gvy * size + gvx, size * size)
-    depth = jnp.concatenate([depth, jnp.zeros((1,), depth.dtype)])
-    depth = depth.at[flatv].max(hit)[:size * size]
-    depth = depth.reshape(size, size)
+    # ---- depth composition: 4px pixel blocks -------------------------------
+    n4 = 16 * n
+    rows_v = jnp.where(jnp.arange(c2) < jnp.minimum(n2, c2),
+                       g4y_c * n4 + g4x_c, n4 * n4)
+    h4flat = _unblock(h4blk, 4 * n, 4).reshape(-1)
+    dblk = _row_max(jnp.broadcast_to(h4flat[:, None], (n4 * n4, 16)),
+                    rows_v, patchv, n4 * n4)
+    depth = _unblock(dblk, n4, 4)
 
     counters = jnp.stack([n0, n1, n2, jnp.int32(0)])
     if not with_normals:
         return depth, None, counters
+    return _normals_pass(fd, mat, depth, size, pn, counters)
 
-    # ---- normals: forward-mode AD at one voxel in front of the surface ----
-    # (eval_pixels_d, /root/reference/src/context.cu:978-1132; z sampling
-    # one voxel in front per :1001-1005)
+
+def _normals_pass(fd, mat, depth, size: int, pn: int, counters):
+    """Normals: forward-mode AD at one voxel in front of the surface
+    (eval_pixels_d, /root/reference/src/context.cu:978-1132; z sampling
+    one voxel in front per :1001-1005).  One 64px tile per compacted
+    content row."""
+    n = size // 64
+    barrier = jax.lax.optimization_barrier
     blocks = depth.reshape(n, TILE, n, TILE).transpose(0, 2, 1, 3)
     blocks = blocks.reshape(n * n, TILE * TILE)
     content = blocks.max(axis=1) > 0
-    idsN, nN = _compact_ids(content, pn)
-    okN_count = jnp.minimum(nN, pn)
-    P = jnp.arange(pn * TILE * TILE, dtype=jnp.int32)
-    tile = idsN[P // (TILE * TILE)]
-    pp = P % (TILE * TILE)
-    gpx = (tile % n) * TILE + pp % TILE
-    gpy = (tile // n) * TILE + pp // TILE
-    d = blocks[tile, pp]
-    zi = jnp.minimum(d, size - 1).astype(jnp.float32)
+    idsN, nN = barrier(_compact_ids(content, pn))
+    tx_c, ty_c = idsN % n, idsN // n
+    d = barrier(blocks[idsN])                              # (pn, 4096)
+    pp = jnp.arange(TILE * TILE, dtype=jnp.int32)
+    gpx = (tx_c[:, None] * TILE + (pp % TILE)[None, :]).reshape(-1)
+    gpy = (ty_c[:, None] * TILE + (pp // TILE)[None, :]).reshape(-1)
+    zi = jnp.minimum(d.reshape(-1), size - 1).astype(jnp.float32)
     fx = ((gpx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fy = ((gpy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fz = ((zi + 0.5) / size - 0.5) * 2.0
     wx, wy, wz = camera.transform3(mat, fx, fy, fz, jnp)
     _, dx, dy, dz = fd(wx, wy, wz)
     norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    inv = 1.0 / jnp.maximum(norm, 1e-12)
-    okP = (P < okN_count * TILE * TILE) & (d > 0)
-    flatp = jnp.where(okP, gpy * size + gpx, size * size)
-    nimg = jnp.zeros((size * size + 1, 3), jnp.float32)
-    nimg = nimg.at[flatp].set(
-        jnp.stack([dx * inv, dy * inv, dz * inv], axis=-1))[:size * size]
-    counters = jnp.stack([n0, n1, n2, nN])
-    return depth, nimg.reshape(size, size, 3), counters
+    inv = jnp.where(d.reshape(-1) > 0, 1.0 / jnp.maximum(norm, 1e-12), 0.0)
+    patchn = jnp.stack([dx * inv, dy * inv, dz * inv],
+                       axis=-1).reshape(pn, TILE * TILE * 3)
+    rows_n = jnp.where(jnp.arange(pn) < jnp.minimum(nN, pn),
+                       idsN, n * n)
+    nblk = jnp.zeros((n * n + 1, TILE * TILE * 3), jnp.float32)
+    nblk = nblk.at[rows_n].set(patchn, mode="drop")[:n * n]
+    nimg = nblk.reshape(n, n, TILE, TILE, 3).transpose(
+        0, 2, 1, 3, 4).reshape(size, size, 3)
+    counters = counters.at[3].set(nN)
+    return depth, nimg, counters
 
 
 # ---------------------------------------------------------------------------
@@ -312,10 +421,13 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
 # ---------------------------------------------------------------------------
 
 def _bucket(x: int, floor: int, ceil_: int) -> int:
-    """Smallest power-of-two-ish bucket >= x within [floor, ceil]."""
+    """Smallest 1.25^k-ish bucket >= x within [floor, ceil], aligned to
+    256.  Geometric steps bound the number of distinct compiles while a
+    camera orbit varies the ambiguous counts; 1.25 keeps padding-lane
+    waste (evaluated at full cost) under ~25%."""
     b = floor
     while b < min(x, ceil_):
-        b *= 2
+        b = -(-int(b * 1.25) // 256) * 256
     return min(b, ceil_)
 
 
@@ -331,7 +443,10 @@ class UnrolledRenderer:
     """Per-tape compiled render functions + observed-count cap memory."""
 
     def __init__(self, tape: Tape):
+        from ..utils import compcache
+        compcache.enable()
         self.tape = tape
+        self._key = tape_key(tape)
         self.f = ue.build_float(tape)
         self.fi = ue.build_interval(tape)
         self.fd = ue.build_deriv(tape)
@@ -340,12 +455,17 @@ class UnrolledRenderer:
             _render2d_impl(self.fi, self.f, mat, z, size, p64, p8),
             static_argnames=("size", "p64", "p8"))
         self._r3 = jax.jit(
-            lambda mat, size, p0, c1, c2, pn, with_normals:
+            lambda mat, size, p0, c1, c2, pn, with_normals, skip4:
             _render3d_impl(self.fi, self.f, self.fd, mat, size,
-                           p0, c1, c2, pn, with_normals),
+                           p0, c1, c2, pn, with_normals, skip4),
             static_argnames=("size", "p0", "c1", "c2", "pn",
-                             "with_normals"))
-        self._obs: Dict = {}
+                             "with_normals", "skip4"))
+        self._obs: Dict = compcache.load_obs(self._key)
+
+    def _record(self, key, counts) -> None:
+        from ..utils import compcache
+        self._obs[key] = counts
+        compcache.save_obs(self._key, self._obs)
 
     # -- 2D ------------------------------------------------------------------
 
@@ -368,7 +488,7 @@ class UnrolledRenderer:
             img, cnt = self._r2(jnp.asarray(mat), jnp.float32(z), size,
                                 p64, p8)
             a64, a8 = (int(v) for v in np.asarray(cnt))
-            self._obs[("2d", size)] = (a64, a8)
+            self._record(("2d", size), (a64, a8))
             if a64 <= p64 and a8 <= p8:
                 return np.asarray(img)
             # overflow: grow to the observed counts and re-render — time,
@@ -393,26 +513,41 @@ class UnrolledRenderer:
                 min(64 * 96 * n2, max(4096, 768 * n2)),
                 min(n2, max(16, n2 // 2)))
 
+    def _skip4(self, size: int) -> bool:
+        """Skip the 4^3 interval stage when observation says it loses:
+        each ambiguous 16^3 cell costs 64 interval + amb2-share float
+        lanes with the stage vs 4096 float lanes without; with bear-class
+        interval cost (~30x float when XLA splits the exp/log fusion)
+        the break-even sits near amb2 > ~20 * amb1."""
+        obs = self._obs.get(("3d", size))
+        return obs is not None and obs[2] > 20 * max(obs[1], 1)
+
     def render3d(self, mat=None, size: int = 256, with_normals: bool = True):
         mat = camera.identity3() if mat is None else np.asarray(
             mat, np.float32)
         p0, c1, c2, pn = self._caps3d(size, with_normals)
+        skip4 = self._skip4(size)
+        if skip4:
+            c2 = 256
         n = size // 64
         while True:
             depth, normals, cnt = self._r3(jnp.asarray(mat), size, p0, c1,
-                                           c2, pn, with_normals)
+                                           c2, pn, with_normals, skip4)
             a0, a1, a2, aN = (int(v) for v in np.asarray(cnt))
+            prev = self._obs.get(("3d", size), (0, 0, 0, 1))
             if not with_normals:
-                # keep the previously observed normals-tile count
-                aN = self._obs.get(("3d", size), (0, 0, 0, 1))[3]
-            self._obs[("3d", size)] = (a0, a1, a2, max(aN, 1))
-            if a0 <= p0 and a1 <= c1 and a2 <= c2 and (not with_normals
-                                                       or aN <= pn):
+                aN = prev[3]   # keep the observed normals-tile count
+            if skip4:
+                a2 = prev[2]   # the 4^3 stage didn't run; keep its count
+            self._record(("3d", size), (a0, a1, a2, max(aN, 1)))
+            if a0 <= p0 and a1 <= c1 and (skip4 or a2 <= c2) and (
+                    not with_normals or aN <= pn):
                 return (np.asarray(depth),
                         None if normals is None else np.asarray(normals))
             p0 = max(p0, _bucket(a0, 64, n * n * n))
             c1 = max(c1, _bucket(a1, 512, n * n * n * 64))
-            c2 = max(c2, _bucket(a2, 2048, n * n * n * 64 * 64))
+            if not skip4:
+                c2 = max(c2, _bucket(a2, 2048, n * n * n * 64 * 64))
             pn = max(pn, _bucket(aN, 16, n * n))
 
 

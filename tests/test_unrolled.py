@@ -225,3 +225,13 @@ def test_render2d_grad_through_pipeline():
     g_scan = jax.grad(loss_scan)(jnp.asarray(tape.imms))
     np.testing.assert_allclose(np.asarray(g_unrolled), np.asarray(g_scan),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_render3d_skip4_exact(spheres_tape):
+    """The adaptive no-4^3-stage variant (picked for interval-hostile
+    models) must also be bit-exact vs brute."""
+    r = unrolled.UnrolledRenderer(spheres_tape)
+    r._obs[("3d", 128)] = (8, 30, 1000, 4)   # forces _skip4 -> True
+    assert r._skip4(128)
+    d_u, _ = r.render3d(size=128, with_normals=False)
+    assert (d_u == brute.render3d_brute(spheres_tape, size=128)).all()
