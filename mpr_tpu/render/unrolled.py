@@ -62,6 +62,16 @@ TILE = 64
 # shared helpers
 # ---------------------------------------------------------------------------
 
+def _get_barrier():
+    """optimization_barrier stops XLA:TPU from fusing stage producers
+    into the unrolled evaluation chains (measured 6x voxel-stage
+    regressions without it); XLA:CPU neither needs it nor tolerates it
+    (compile time/memory explode), so it is a no-op there."""
+    if jax.default_backend() == "cpu":
+        return lambda x: x
+    return jax.lax.optimization_barrier
+
+
 def _classify(lo, hi):
     """0 empty / 1 filled / 2 ambiguous; NaN bounds classify ambiguous
     (matches eval_tiles_i, /root/reference/src/context.cu:293-317)."""
@@ -141,13 +151,13 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
     scatter index); scatter 64-wide block rows."""
     n64 = size // 64
     n8 = size // 8
-    barrier = jax.lax.optimization_barrier
+    barrier = _get_barrier()
 
     # ---- stage 1: 64px tiles (t = ty*n64 + tx) ---------------------------
     t = jnp.arange(n64 * n64, dtype=jnp.int32)
     xl, xh = _axis_box(t % n64, n64)
     yl, yh = _axis_box(t // n64, n64)
-    bxl, bxh, byl, byh = _mat3_interval(mat, xl, xh, yl, yh)
+    bxl, bxh, byl, byh = barrier(_mat3_interval(mat, xl, xh, yl, yh))
     zc = jnp.full_like(bxl, z)
     lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
     st64 = _classify(lo, hi)
@@ -162,7 +172,7 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
     gy8 = (ty_p[:, None] * 8 + (c // 8)[None, :]).reshape(-1)
     xl, xh = _axis_box(gx8, n8)
     yl, yh = _axis_box(gy8, n8)
-    bxl, bxh, byl, byh = _mat3_interval(mat, xl, xh, yl, yh)
+    bxl, bxh, byl, byh = barrier(_mat3_interval(mat, xl, xh, yl, yh))
     zc = jnp.full_like(bxl, z)
     lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
     lane_ok = jnp.arange(p64 * 64, dtype=jnp.int32) < (
@@ -178,7 +188,7 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
     gpy = (gy8_c[:, None] * 8 + (p // 8)[None, :]).reshape(-1)
     fx = ((gpx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fy = ((gpy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-    px_, py_ = camera.transform2(mat, fx, fy, jnp)
+    px_, py_ = barrier(camera.transform2(mat, fx, fy, jnp))
     v = f(px_, py_, jnp.full_like(px_, z))
     px_ok = jnp.arange(p8 * 64, dtype=jnp.int32) < (
         jnp.minimum(n8a, p8) * 64)
@@ -224,6 +234,16 @@ def _unblock(blocks, nb: int, bs: int):
         nb * bs, nb * bs)
 
 
+def _zmax4(hit_flat):
+    """Max over cz of a (C*64,) plane with inner order (cz*4+cy)*4+cx ->
+    (C, 16) patches.  Static minor-dim slices keep arrays at lane-width
+    64/16; reshaping to (C, 4, 4, 4) would make XLA pad the minor dims
+    to (8, 128) — a 64x memory blowup measured as ~6x voxel-stage cost."""
+    h = hit_flat.reshape(-1, 64)
+    return jnp.maximum(jnp.maximum(h[:, 0:16], h[:, 16:32]),
+                       jnp.maximum(h[:, 32:48], h[:, 48:64]))
+
+
 def _row_max(blocks, rows, patch, nrows: int):
     """Scatter-max (C, W) patches into (nrows, W) block rows; rows may
     repeat (painter's-algorithm depth composition as row-blocked
@@ -235,21 +255,22 @@ def _row_max(blocks, rows, patch, nrows: int):
 
 
 def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
-                   pn: int, with_normals: bool, skip4: bool = False):
+                   pn: int, with_normals: bool, skip4: bool = False,
+                   debug_stage: str = ""):
     """3D ladder 64^3 -> 16^3 -> 4^3 -> voxel (the reference's full stage
     list, /root/reference/src/context.cpp:21-26), with occlusion culling
     between every stage (mask_filled_tiles analog,
     /root/reference/src/context.cu:471-495) via granularity-matched
     heightmap block images.  Same index discipline as _render2d_impl."""
     n = size // 64
-    barrier = jax.lax.optimization_barrier
+    barrier = _get_barrier()
     c4 = jnp.arange(64, dtype=jnp.int32)
     cx4, cy4, cz4 = c4 % 4, (c4 // 4) % 4, c4 // 16
 
     # ---- stage A: 64^3 tiles, t = (tz*n + ty)*n + tx ----------------------
     t = jnp.arange(n * n * n, dtype=jnp.int32)
     tx, ty, tz = t % n, (t // n) % n, t // (n * n)
-    lo, hi = fi(*_cell_boxes_3d(mat, tx, ty, tz, n))
+    lo, hi = fi(*barrier(tuple(_cell_boxes_3d(mat, tx, ty, tz, n))))
     st0 = _classify(lo, hi)
     # heightmap (ty*n+tx,) of filled-tile top depth values ((tz+1)*64:
     # depth image convention is top filled voxel index + 1)
@@ -259,29 +280,32 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
                            0), axis=0).reshape(-1)
     occl0 = (tz + 1) * 64 <= h0[ty * n + tx]
     ids0, n0 = barrier(_compact_ids((st0 == ST_AMBIG) & ~occl0, p0))
+    if debug_stage == "A":
+        return None, None, jnp.zeros((4,), jnp.int32) + ids0[0] + n0
+
 
     # ---- stage B: 16^3 children (c = (cz*4+cy)*4 + cx) --------------------
     txp, typ, tzp = ids0 % n, (ids0 // n) % n, ids0 // (n * n)
     g16x = (txp[:, None] * 4 + cx4[None, :]).reshape(-1)
     g16y = (typ[:, None] * 4 + cy4[None, :]).reshape(-1)
     g16z = (tzp[:, None] * 4 + cz4[None, :]).reshape(-1)
-    lo, hi = fi(*_cell_boxes_3d(mat, g16x, g16y, g16z, 4 * n))
+    lo, hi = fi(*barrier(tuple(_cell_boxes_3d(mat, g16x, g16y, g16z, 4 * n))))
     okB = jnp.arange(p0 * 64) < jnp.minimum(n0, p0) * 64
     st1 = jnp.where(okB, _classify(lo, hi), ST_EMPTY)
 
     # h16 block image: row = parent xy tile (ty*n+tx), inner = cy*4+cx
-    st1r = st1.reshape(p0, 4, 4, 4)                       # [cz, cy, cx]
-    top1r = ((tzp[:, None] * 4 + jnp.arange(4)[None, :]) + 1) * 16
-    patch16 = jnp.max(jnp.where(st1r == ST_FILLED,
-                                top1r[:, :, None, None], 0),
-                      axis=1).reshape(p0, 16)
+    top1 = (g16z + 1) * 16                                 # per lane
+    patch16 = _zmax4(jnp.where(st1 == ST_FILLED, top1, 0))
     rows_p = jnp.where(jnp.arange(p0) < jnp.minimum(n0, p0),
                        typ * n + txp, n * n)
     h16blk = _row_max(jnp.broadcast_to(h0[:, None], (n * n, 16)),
                       rows_p, patch16, n * n)
-    hb = h16blk[jnp.minimum(rows_p, n * n - 1)].reshape(p0, 1, 4, 4)
-    occl1 = (top1r[:, :, None, None] <= hb).reshape(-1)
+    hb = h16blk[jnp.minimum(rows_p, n * n - 1)]            # (p0, 16)
+    occl1 = (top1 <= jnp.tile(hb, (1, 4)).reshape(-1))
     ids1, n1 = barrier(_compact_ids((st1 == ST_AMBIG) & ~occl1, c1))
+    if debug_stage == "B":
+        return None, None, jnp.zeros((4,), jnp.int32) + ids1[0] + n1
+
 
     g16x_c = barrier(g16x[ids1])
     g16y_c = barrier(g16y[ids1])
@@ -301,14 +325,13 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
         fx = ((gvx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
         fy = ((gvy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
         fz = ((gvz.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-        wx, wy, wz = camera.transform3(mat, fx, fy, fz, jnp)
+        wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
         val = f(wx, wy, wz)
         okV = jnp.arange(c1 * 4096) < jnp.minimum(n1, c1) * 4096
-        hitr = jnp.where((val < 0.0).reshape(c1, 16, 256)
-                         & okV.reshape(c1, 16, 256),
-                         (g16z_c[:, None] * 16 + jnp.arange(16)[None, :]
-                          + 1)[:, :, None], 0)
-        patchv = jnp.max(hitr, axis=1)                    # (c1, 256)
+        hit = jnp.where((val < 0.0) & okV, gvz + 1, 0).reshape(c1, 4096)
+        patchv = hit[:, 0:256]
+        for k in range(1, 16):
+            patchv = jnp.maximum(patchv, hit[:, 256 * k:256 * (k + 1)])
         rows_v = jnp.where(jnp.arange(c1) < jnp.minimum(n1, c1),
                            g16y_c * (4 * n) + g16x_c, 16 * n * n)
         h16flat = _unblock(h16blk, n, 4).reshape(-1)
@@ -327,24 +350,24 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
     g4x = (g16x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
     g4y = (g16y_c[:, None] * 4 + cy4[None, :]).reshape(-1)
     g4z = (g16z_c[:, None] * 4 + cz4[None, :]).reshape(-1)
-    lo, hi = fi(*_cell_boxes_3d(mat, g4x, g4y, g4z, 16 * n))
+    lo, hi = fi(*barrier(tuple(_cell_boxes_3d(mat, g4x, g4y, g4z, 16 * n))))
     okC = jnp.arange(c1 * 64) < jnp.minimum(n1, c1) * 64
     st2 = jnp.where(okC, _classify(lo, hi), ST_EMPTY)
 
     # h4 block image: row = 16px texel (g16y*(4n)+g16x), inner = cy*4+cx
-    st2r = st2.reshape(c1, 4, 4, 4)
-    top2r = ((g16z_c[:, None] * 4 + jnp.arange(4)[None, :]) + 1) * 4
-    patch4 = jnp.max(jnp.where(st2r == ST_FILLED,
-                               top2r[:, :, None, None], 0),
-                     axis=1).reshape(c1, 16)
+    top2 = (g4z + 1) * 4                                   # per lane
+    patch4 = _zmax4(jnp.where(st2 == ST_FILLED, top2, 0))
     rows_c = jnp.where(jnp.arange(c1) < jnp.minimum(n1, c1),
                        g16y_c * (4 * n) + g16x_c, 16 * n * n)
     h16flat = _unblock(h16blk, n, 4).reshape(-1)
     h4blk = _row_max(jnp.broadcast_to(h16flat[:, None], (16 * n * n, 16)),
                      rows_c, patch4, 16 * n * n)
-    hb = h4blk[jnp.minimum(rows_c, 16 * n * n - 1)].reshape(c1, 1, 4, 4)
-    occl2 = (top2r[:, :, None, None] <= hb).reshape(-1)
+    hb = h4blk[jnp.minimum(rows_c, 16 * n * n - 1)]        # (c1, 16)
+    occl2 = (top2 <= jnp.tile(hb, (1, 4)).reshape(-1))
     ids2, n2 = barrier(_compact_ids((st2 == ST_AMBIG) & ~occl2, c2))
+    if debug_stage == "Bp":
+        return None, None, jnp.zeros((4,), jnp.int32) + ids2[0] + n2
+
 
     # ---- voxel stage: 64 voxels per ambiguous 4^3 cell ---------------------
     g4x_c = barrier(g4x[ids2])
@@ -356,14 +379,13 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
     fx = ((gvx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fy = ((gvy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fz = ((gvz.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-    wx, wy, wz = camera.transform3(mat, fx, fy, fz, jnp)
+    wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
     val = f(wx, wy, wz)
     okV = jnp.arange(c2 * 64) < jnp.minimum(n2, c2) * 64
-    hitr = jnp.where((val < 0.0).reshape(c2, 4, 4, 4)
-                     & okV.reshape(c2, 4, 4, 4),
-                     (g4z_c[:, None] * 4 + jnp.arange(4)[None, :]
-                      + 1)[:, :, None, None], 0)
-    patchv = jnp.max(hitr, axis=1).reshape(c2, 16)
+    patchv = _zmax4(jnp.where((val < 0.0) & okV, gvz + 1, 0))
+    if debug_stage == "V":
+        return None, None, jnp.zeros((4,), jnp.int32) + patchv[0, 0]
+
 
     # ---- depth composition: 4px pixel blocks -------------------------------
     n4 = 16 * n
@@ -386,7 +408,7 @@ def _normals_pass(fd, mat, depth, size: int, pn: int, counters):
     one voxel in front per :1001-1005).  One 64px tile per compacted
     content row."""
     n = size // 64
-    barrier = jax.lax.optimization_barrier
+    barrier = _get_barrier()
     blocks = depth.reshape(n, TILE, n, TILE).transpose(0, 2, 1, 3)
     blocks = blocks.reshape(n * n, TILE * TILE)
     content = blocks.max(axis=1) > 0
@@ -400,18 +422,19 @@ def _normals_pass(fd, mat, depth, size: int, pn: int, counters):
     fx = ((gpx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fy = ((gpy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
     fz = ((zi + 0.5) / size - 0.5) * 2.0
-    wx, wy, wz = camera.transform3(mat, fx, fy, fz, jnp)
+    wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
     _, dx, dy, dz = fd(wx, wy, wz)
     norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     inv = jnp.where(d.reshape(-1) > 0, 1.0 / jnp.maximum(norm, 1e-12), 0.0)
-    patchn = jnp.stack([dx * inv, dy * inv, dz * inv],
-                       axis=-1).reshape(pn, TILE * TILE * 3)
     rows_n = jnp.where(jnp.arange(pn) < jnp.minimum(nN, pn),
                        idsN, n * n)
-    nblk = jnp.zeros((n * n + 1, TILE * TILE * 3), jnp.float32)
-    nblk = nblk.at[rows_n].set(patchn, mode="drop")[:n * n]
-    nimg = nblk.reshape(n, n, TILE, TILE, 3).transpose(
-        0, 2, 1, 3, 4).reshape(size, size, 3)
+    planes = []
+    for comp in (dx * inv, dy * inv, dz * inv):
+        blk = jnp.zeros((n * n + 1, TILE * TILE), jnp.float32)
+        blk = blk.at[rows_n].set(comp.reshape(pn, TILE * TILE),
+                                 mode="drop")[:n * n]
+        planes.append(_unblock(blk, n, TILE))
+    nimg = jnp.stack(planes, axis=-1)
     counters = counters.at[3].set(nN)
     return depth, nimg, counters
 
@@ -515,12 +538,13 @@ class UnrolledRenderer:
 
     def _skip4(self, size: int) -> bool:
         """Skip the 4^3 interval stage when observation says it loses:
-        each ambiguous 16^3 cell costs 64 interval + amb2-share float
-        lanes with the stage vs 4096 float lanes without; with bear-class
-        interval cost (~30x float when XLA splits the exp/log fusion)
-        the break-even sits near amb2 > ~20 * amb1."""
+        with the stage, each ambiguous 16^3 cell costs 64 interval lanes
+        (~3.3x a float lane) plus its amb2 share of 64-voxel float
+        cells; without it, 4096 float lanes.  Break-even near
+        amb2 > ~56 * amb1 — amb2 <= 64 * amb1 by construction, so this
+        only triggers for interval-pathological shapes."""
         obs = self._obs.get(("3d", size))
-        return obs is not None and obs[2] > 20 * max(obs[1], 1)
+        return obs is not None and obs[2] > 56 * max(obs[1], 1)
 
     def render3d(self, mat=None, size: int = 256, with_normals: bool = True):
         mat = camera.identity3() if mat is None else np.asarray(

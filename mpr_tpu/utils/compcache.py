@@ -32,11 +32,18 @@ def cache_dir() -> Path:
 
 
 def enable() -> None:
-    """Idempotently enable the persistent XLA compilation cache."""
+    """Idempotently enable the persistent XLA compilation cache.
+
+    TPU backend only: XLA:CPU persists AOT code whose target-machine
+    feature lists can mismatch across processes on this host (loader
+    warns about possible SIGILL), and CPU compiles are cheap anyway."""
     global _enabled
     if _enabled:
         return
     import jax
+    if jax.default_backend() != "tpu":
+        _enabled = True
+        return
     jax.config.update("jax_compilation_cache_dir",
                       str(cache_dir() / "xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
