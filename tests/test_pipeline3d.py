@@ -77,3 +77,22 @@ def test_gyroid_normals_vs_autodiff():
     g = np.array(g)
     g /= np.linalg.norm(g, axis=1, keepdims=True)
     assert np.allclose(g, normals[ys, xs], atol=1e-3)
+
+
+@pytest.mark.slow
+def test_overflow_retry_grows_caps():
+    """Forcing tiny stage caps must trigger the grow-and-retry loop, not
+    a silently truncated image (the reference's realloc-on-overflow
+    invariant, /root/reference/src/context.cu:1219-1222)."""
+    from mpr_tpu import config
+    from mpr_tpu.frontend import shapes
+    from mpr_tpu.render.pipeline3d import render3d
+    from mpr_tpu.tape.tape import compile_tree
+
+    t = shapes.union(shapes.sphere(0.55, cx=-0.3),
+                     shapes.sphere(0.35, cx=0.45, cy=0.25))
+    tape = compile_tree(t)
+    depth_ok, _ = render3d(tape, size=128, with_normals=False)
+    with config.override(p0_scale=1, c1_scale=2):
+        depth_tiny, _ = render3d(tape, size=128, with_normals=False)
+    assert (depth_tiny == depth_ok).all()
