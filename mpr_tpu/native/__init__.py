@@ -67,7 +67,7 @@ def lib() -> Optional[ctypes.CDLL]:
         h.mpr_compile.restype = ctypes.c_int
         h.mpr_compile.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
@@ -78,17 +78,11 @@ def lib() -> Optional[ctypes.CDLL]:
     return _lib_handle
 
 
-_F_DEAD = 23
-_F_ACC0 = 24   # + (ACC gpu opcode - 32); see tape/opcodes.py
+def flatten_tree(tree):
+    """Post-order DAG -> (fams, lhs, rhs, values) int32/f32 arrays.
 
-
-def flatten_tree(tree, plan=None):
-    """Post-order DAG -> (fams, lhs, rhs, acc, values) int32/f32 arrays.
-
-    ``plan`` (tape/fuse.py AccPlan) marks fused-away inners F_DEAD and
-    rewrites ACC sites to F_ACC families with the third operand in
-    ``acc``.  Raises TapeError for ops the compiler rejects, with the
-    same message as the Python path (parity with
+    Raises TapeError for ops the compiler rejects, with the same message
+    as the Python path (parity with
     /root/reference/src/tape.cpp:182-196).
     """
     from ..tape.tape import TapeError, UNSUPPORTED
@@ -97,24 +91,11 @@ def flatten_tree(tree, plan=None):
     fams = np.empty(n, np.int32)
     lhs = np.full(n, -1, np.int32)
     rhs = np.full(n, -1, np.int32)
-    acc = np.full(n, -1, np.int32)
     vals = np.zeros(n, np.float32)
     index = {}
     fam = _FAMILY
-    sites = plan.sites if plan is not None else {}
-    dead = plan.dead if plan is not None else ()
     for i, c in enumerate(ordered):
         index[c.id] = i
-        site = sites.get(c.id)
-        if site is not None:
-            fams[i] = _F_ACC0 + (site.gpu_op - 32)
-            lhs[i] = index[site.a.id]
-            rhs[i] = index[site.b.id]
-            acc[i] = index[site.c.id]
-            continue
-        if c.id in dead:
-            fams[i] = _F_DEAD
-            continue
         f = fam.get(c.op)
         if f is None:
             if c.op in UNSUPPORTED:
@@ -129,16 +110,16 @@ def flatten_tree(tree, plan=None):
             rhs[i] = index[c.rhs.id]
         if f == 0:
             vals[i] = c.value
-    return fams, lhs, rhs, acc, vals
+    return fams, lhs, rhs, vals
 
 
-def compile_native(tree, schedule: str = "opruns", plan=None):
+def compile_native(tree, schedule: str = "opruns"):
     """Native compile_tree; returns a Tape or None if the lib is absent."""
     h = lib()
     if h is None:
         return None
     from ..tape.tape import Tape, TapeError
-    fams, lhs, rhs, acc, vals = flatten_tree(tree, plan)
+    fams, lhs, rhs, vals = flatten_tree(tree)
     n = len(fams)
     cap = n + 1
     o_ops = np.zeros(cap, np.int32)
@@ -151,7 +132,7 @@ def compile_native(tree, schedule: str = "opruns", plan=None):
     def call(use_opruns, window):
         return h.mpr_compile(
             fams.ctypes.data, lhs.ctypes.data, rhs.ctypes.data,
-            acc.ctypes.data, vals.ctypes.data, n, use_opruns, window,
+            vals.ctypes.data, n, use_opruns, window,
             o_ops.ctypes.data, o_outs.ctypes.data, o_lhss.ctypes.data,
             o_rhss.ctypes.data, o_imms.ctypes.data, o_meta.ctypes.data)
 

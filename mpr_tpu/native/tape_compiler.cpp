@@ -27,8 +27,6 @@ enum Family : int32_t {
   F_ADD = 15, F_MUL = 16, F_MIN = 17, F_MAX = 18,
   F_SUB = 19, F_DIV = 20,
   F_HYPOT = 21, F_ADDSQ = 22,   // fused compound ops (tape/fuse.py)
-  F_DEAD = 23,                  // fused-away inner (skip like a leaf)
-  F_ACC0 = 24,                  // ACC min/max: gpu op = 32 + (fam - 24)
 };
 
 // GPU opcodes (mpr_tpu/tape/opcodes.py, mirroring
@@ -44,7 +42,6 @@ enum Op : int32_t {
   DIV_LHS_IMM = 24, DIV_IMM_RHS = 25, DIV_LHS_RHS = 26,
   COPY_IMM = 27, COPY_LHS = 28, COPY_RHS = 29,
   HYPOT_LHS_RHS = 30, ADDSQ_LHS_RHS = 31,
-  ACCMIN_MIN = 32, ACCMIN_MAX = 33, ACCMAX_MIN = 34, ACCMAX_MAX = 35,
 };
 
 constexpr int32_t SLOT_CAP = 224;
@@ -52,7 +49,6 @@ constexpr int32_t SLOT_CAP = 224;
 struct Node {
   int32_t fam;
   int32_t lhs, rhs;   // indices into the post-order array, -1 if none
-  int32_t acc;        // third (accumulator) operand for F_ACC families
   float value;
 };
 
@@ -63,7 +59,6 @@ inline bool is_fused(int32_t f) { return f == F_HYPOT || f == F_ADDSQ; }
 inline int32_t fused_gpu(int32_t f) {
   return f == F_HYPOT ? HYPOT_LHS_RHS : ADDSQ_LHS_RHS;
 }
-inline bool is_acc(int32_t f) { return f >= F_ACC0 && f <= F_ACC0 + 3; }
 
 int32_t unary_gpu(int32_t f) { return SQUARE_LHS + (f - F_SQUARE); }
 
@@ -90,7 +85,6 @@ int32_t gpu_op_of(const std::vector<Node>& nodes, int32_t i) {
   const Node& c = nodes[i];
   if (is_unary(c.fam)) return unary_gpu(c.fam);
   if (is_fused(c.fam)) return fused_gpu(c.fam);
-  if (is_acc(c.fam)) return ACCMIN_MIN + (c.fam - F_ACC0);
   bool lc = c.lhs >= 0 && nodes[c.lhs].fam == F_CONST;
   bool rc = c.rhs >= 0 && nodes[c.rhs].fam == F_CONST;
   if (is_comm(c.fam)) {
@@ -117,7 +111,7 @@ std::vector<int32_t> schedule_opruns(
   std::vector<std::vector<int>> consumers(n);
   for (int i = 0; i < n; ++i) {
     const Node& c = full[fast[i]];
-    for (int32_t h : {c.lhs, c.rhs, c.acc}) {
+    for (int32_t h : {c.lhs, c.rhs}) {
       if (h >= 0) {
         int32_t j = full_to_fast[h];
         if (j >= 0) { ndeps[i]++; consumers[j].push_back(i); }
@@ -182,13 +176,13 @@ extern "C" {
 // Returns 0 on success, -1 slot overflow, -2 internal error.
 // o_meta: [length, num_slots, sx, sy, sz, result_slot, num_choices, window]
 int mpr_compile(const int32_t* fams, const int32_t* lhs, const int32_t* rhs,
-                const int32_t* accs, const float* values, int32_t n,
+                const float* values, int32_t n,
                 int32_t use_opruns, int32_t window,
                 int32_t* o_ops, int32_t* o_outs, int32_t* o_lhss,
                 int32_t* o_rhss, float* o_imms, int32_t* o_meta) {
   std::vector<Node> full(n);
   for (int i = 0; i < n; ++i)
-    full[i] = Node{fams[i], lhs[i], rhs[i], accs[i], values[i]};
+    full[i] = Node{fams[i], lhs[i], rhs[i], values[i]};
 
   // liveness skeleton + axis detection (tape.py:212-233)
   int32_t axes[3] = {-1, -1, -1};
@@ -196,7 +190,7 @@ int mpr_compile(const int32_t* fams, const int32_t* lhs, const int32_t* rhs,
   std::vector<int32_t> full_to_fast(n, -1);
   for (int i = 0; i < n; ++i) {
     int32_t f = full[i].fam;
-    if (f == F_CONST || f == F_DEAD) continue;
+    if (f == F_CONST) continue;
     if (f == F_X) { axes[0] = i; continue; }
     if (f == F_Y) { axes[1] = i; continue; }
     if (f == F_Z) { axes[2] = i; continue; }
@@ -218,7 +212,6 @@ int mpr_compile(const int32_t* fams, const int32_t* lhs, const int32_t* rhs,
   for (int32_t oi : order) {
     const Node& c = full[fast[oi]];
     if (c.rhs >= 0) last_used[c.rhs] = fast[oi];
-    if (c.acc >= 0) last_used[c.acc] = fast[oi];
     last_used[c.lhs] = fast[oi];
   }
 
@@ -254,34 +247,6 @@ int mpr_compile(const int32_t* fams, const int32_t* lhs, const int32_t* rhs,
     float o_i = 0.f;
     bool lc = c.lhs >= 0 && full[c.lhs].fam == F_CONST;
     bool rc = c.rhs >= 0 && full[c.rhs].fam == F_CONST;
-    if (is_acc(c.fam)) {
-      // ACC fusion: the accumulator's slot becomes the output slot
-      o_op = ACCMIN_MIN + (c.fam - F_ACC0);
-      o_l = bound[c.lhs];
-      o_r = bound[c.rhs];
-      int32_t c_reg = bound[c.acc];
-      if (o_l < 0 || o_r < 0 || c_reg < 0) return -2;
-      int32_t freed[2] = {-1, -1};
-      int nf = 0;
-      for (int32_t h : {c.lhs, c.rhs}) {
-        if (full[h].fam != F_CONST && last_used[h] == fi) {
-          bool dup = false;
-          for (int k = 0; k < nf; ++k) if (freed[k] == h) dup = true;
-          if (!dup && bound[h] >= 0) {
-            free_slots.push_back(bound[h]);
-            bound[h] = -1;
-            freed[nf++] = h;
-          }
-        }
-      }
-      bound[c.acc] = -1;
-      bound[fi] = c_reg;
-      num_choices += 2;
-      o_ops[len] = o_op; o_outs[len] = c_reg; o_lhss[len] = o_l;
-      o_rhss[len] = o_r; o_imms[len] = 0.f;
-      len++;
-      continue;
-    }
     if (is_unary(c.fam)) {
       o_op = unary_gpu(c.fam);
       o_l = bound[c.lhs];

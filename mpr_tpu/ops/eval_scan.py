@@ -71,22 +71,7 @@ def _float_branches():
     ]
 
 
-def _acc_float_branches():
-    """ACC ops read the accumulator (the out slot's prior value):
-    (a, b, acc, imm) -> value.  Indexed by op - 32."""
-    return [
-        lambda a, b, c, imm: jnp.minimum(c, jnp.minimum(a, b)),
-        lambda a, b, c, imm: jnp.minimum(c, jnp.maximum(a, b)),
-        lambda a, b, c, imm: jnp.maximum(c, jnp.minimum(a, b)),
-        lambda a, b, c, imm: jnp.maximum(c, jnp.maximum(a, b)),
-    ]
-
-
 _FLOAT_BRANCHES = _float_branches()
-_ACC_FLOAT = _acc_float_branches()
-# uniform-signature table for the scan body: (a, b, acc, imm) -> value
-_FLOAT_ALL = ([(lambda f: (lambda a, b, c, imm: f(a, b, imm)))(f)
-               for f in _FLOAT_BRANCHES] + _ACC_FLOAT)
 
 
 @jax.jit
@@ -122,8 +107,7 @@ def eval_f(td: TapeData, x, y, z=None):
         op, out, lhs, rhs = unpack_fields(word)
         a = lax.dynamic_index_in_dim(slots, lhs, 0, keepdims=False)
         b = lax.dynamic_index_in_dim(slots, rhs, 0, keepdims=False)
-        acc = lax.dynamic_index_in_dim(slots, out, 0, keepdims=False)
-        res = lax.switch(op, _FLOAT_ALL, a, b, acc, imm)
+        res = lax.switch(op, _FLOAT_BRANCHES, a, b, imm)
         slots = lax.dynamic_update_index_in_dim(slots, res, out, 0)
         return slots, None
 
@@ -267,34 +251,7 @@ def _interval_branches():
 
 _INTERVAL_BRANCHES = _interval_branches()
 
-from ..tape.opcodes import ACC_OP_LO, CHOICE_OP_LO, CHOICE_OP_HI
-
-
-def _acc_interval_branches():
-    """(al, ah, bl, bh, ol, oh, imm) -> (rl, rh, c_inner, c_outer).
-
-    Choice conventions: inner 1 = lhs(a), 2 = rhs(b); outer 1 = the inner
-    result, 2 = the accumulator (the out slot's prior interval)."""
-    j = jnp
-
-    def mk(outer_is_max, inner_is_max):
-        fi = im.i_max if inner_is_max else im.i_min
-        fo = im.i_max if outer_is_max else im.i_min
-
-        def f(al, ah, bl, bh, ol, oh, imm):
-            il, ih, c1 = fi(j, al, ah, bl, bh)
-            rl, rh, c2 = fo(j, il, ih, ol, oh)
-            return rl, rh, c1.astype(jnp.int32), c2.astype(jnp.int32)
-        return f
-
-    return [mk(False, False), mk(False, True), mk(True, False),
-            mk(True, True)]
-
-
-_IV_ALL = ([(lambda f: (lambda al, ah, bl, bh, ol, oh, imm:
-                        f(al, ah, bl, bh, imm)
-                        + (jnp.zeros_like(al, jnp.int32),)))(f)
-            for f in _INTERVAL_BRANCHES] + _acc_interval_branches())
+from ..tape.opcodes import CHOICE_OP_LO, CHOICE_OP_HI
 
 
 @jax.jit
@@ -342,28 +299,18 @@ def eval_i(td: TapeData, xl, xh, yl, yh, zl=None, zh=None):
         ah = lax.dynamic_index_in_dim(hi, lhs, 0, keepdims=False)
         bl = lax.dynamic_index_in_dim(lo, rhs, 0, keepdims=False)
         bh = lax.dynamic_index_in_dim(hi, rhs, 0, keepdims=False)
-        ol = lax.dynamic_index_in_dim(lo, out, 0, keepdims=False)
-        oh = lax.dynamic_index_in_dim(hi, out, 0, keepdims=False)
-        rl, rh, c, c2 = lax.switch(op, _IV_ALL, al, ah, bl, bh, ol, oh, imm)
+        rl, rh, c = lax.switch(op, _INTERVAL_BRANCHES, al, ah, bl, bh, imm)
         lo = lax.dynamic_update_index_in_dim(lo, rl, out, 0)
         hi = lax.dynamic_update_index_in_dim(hi, rh, out, 0)
         # Record choices at the cursor.  Non-choice clauses merge the
         # existing rows back unchanged (a conditional write would need a
-        # branch; this keeps the scan body straight-line).  ACC ops record
-        # TWO codes: inner then outer.
-        has_choice = jnp.logical_or(
-            jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI),
-            op >= ACC_OP_LO)
-        is_acc = op >= ACC_OP_LO
+        # branch; this keeps the scan body straight-line).
+        has_choice = jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI)
         ci_c = jnp.minimum(ci, C - 1)
         row = lax.dynamic_index_in_dim(choices, ci_c, 0, keepdims=False)
         new_row = jnp.where(has_choice, c.astype(jnp.int8), row)
         choices = lax.dynamic_update_index_in_dim(choices, new_row, ci_c, 0)
-        ci2 = jnp.minimum(ci + 1, C - 1)
-        row2 = lax.dynamic_index_in_dim(choices, ci2, 0, keepdims=False)
-        new_row2 = jnp.where(is_acc, c2.astype(jnp.int8), row2)
-        choices = lax.dynamic_update_index_in_dim(choices, new_row2, ci2, 0)
-        ci = ci + has_choice.astype(jnp.int32) + is_acc.astype(jnp.int32)
+        ci = ci + has_choice.astype(jnp.int32)
         return (lo, hi, choices, ci), None
 
     (lo, hi, choices, _), _ = lax.scan(

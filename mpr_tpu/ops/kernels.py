@@ -45,7 +45,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..tape.opcodes import (ACC_OP_LO, CHOICE_OP_HI, CHOICE_OP_LO, Op)
+from ..tape.opcodes import CHOICE_OP_HI, CHOICE_OP_LO, Op
 from . import transcendental as tc
 
 # Status codes (match the spirit of position=-1 marking in the reference).
@@ -59,18 +59,6 @@ CODE_KEEP = 1
 CODE_COPY_LHS = 2
 CODE_COPY_RHS = 3
 CODE_COPY_IMM = 4
-# ACC-op rewrites (see tape/opcodes.py ACC semantics): demote to the
-# inner 2-ary min/max, or to the outer 2-ary against the accumulator
-CODE_INNER2 = 5
-CODE_OUTER_A = 6
-CODE_OUTER_B = 7
-
-
-def _float_acc_branch(o: int):
-    """out = OUTER(acc, INNER(a, b)) for ACC opcode ``o``."""
-    fi = jnp.maximum if (o - ACC_OP_LO) & 1 else jnp.minimum
-    fo = jnp.maximum if (o - ACC_OP_LO) & 2 else jnp.minimum
-    return lambda a, b, acc, imm: fo(acc, fi(a, b))
 
 SLOT_CAP = 192
 
@@ -371,35 +359,6 @@ def _make_interval_shorten_kernel(branch_ops):
             return jnp.where(ci % 16 == 15, 0, cword), ci + 1
 
         def mk_branch(op):
-            if op >= ACC_OP_LO:
-                # ACC fused min/max: out = OUTER(acc, INNER(a, b)),
-                # recording two choice codes (inner, then outer vs acc)
-                f_in = all_br[int(Op.MAX_LHS_RHS if (op - ACC_OP_LO) & 1
-                                  else Op.MIN_LHS_RHS)]
-                f_out = all_br[int(Op.MAX_LHS_RHS if (op - ACC_OP_LO) & 2
-                                   else Op.MIN_LHS_RHS)]
-
-                def br_acc(t0, cnt, cword, ci):
-                    def inner(k, carry):
-                        cword, ci = carry
-                        t = t0 + k
-                        w = words_ref[t]
-                        out = (w >> 8) & 0xFF
-                        lhs = (w >> 16) & 0xFF
-                        rhs = (w >> 24) & 0xFF
-                        ab = regs_ref[pl.ds(lhs, 1)][0]
-                        bb = regs_ref[pl.ds(rhs, 1)][0]
-                        ob = regs_ref[pl.ds(out, 1)][0]
-                        il, ih, c1 = f_in(ab[0], ab[1], bb[0], bb[1], 0.0)
-                        rl, rh, c2 = f_out(il, ih, ob[0], ob[1], 0.0)
-                        regs_ref[pl.ds(out, 1), 0] = rl[None]
-                        regs_ref[pl.ds(out, 1), 1] = rh[None]
-                        cword, ci = push_code(cword, ci, c1)
-                        cword, ci = push_code(cword, ci, c2)
-                        return cword, ci
-                    return lax.fori_loop(0, cnt, inner, (cword, ci))
-                return br_acc
-
             f = all_br[op]
             is_choice = CHOICE_OP_LO <= op <= CHOICE_OP_HI
 
@@ -471,18 +430,13 @@ def _make_interval_shorten_kernel(branch_ops):
             lhs = (w >> 16) & 0xFF
             rhs = (w >> 24) & 0xFF
             has_choice = jnp.logical_and(op >= CHOICE_OP_LO, op <= CHOICE_OP_HI)
-            is_acc = op >= ACC_OP_LO
-            ci = ci - has_choice.astype(jnp.int32) - 2 * is_acc.astype(
-                jnp.int32)
+            ci = ci - has_choice.astype(jnp.int32)
 
             active_out = act_ref[pl.ds(out, 1)][0]      # (8, LB8) int32
 
             cw = cho_ref[pl.ds(ci // 16, 1)][0]
             choice = (cw >> (2 * (ci % 16))) & 3
-            choice = jnp.where(has_choice | is_acc, choice, 0)
-            # ACC ops recorded a second (outer) code at ci+1
-            cw2 = cho_ref[pl.ds((ci + 1) // 16, 1)][0]
-            c_out = (cw2 >> (2 * ((ci + 1) % 16))) & 3
+            choice = jnp.where(has_choice, choice, 0)
             is_act = active_out != 0
 
             # code per lane (plain ops)
@@ -496,33 +450,15 @@ def _make_interval_shorten_kernel(branch_ops):
                      jnp.where(ch_lhs, CODE_COPY_LHS,
                        jnp.where(rhs_is_reg, CODE_COPY_RHS, CODE_COPY_IMM)))
             code = jnp.where(elide, CODE_DROP, code)
-            # ACC ops: see the rewrite table in tape/opcodes.py + fuse.py
-            code_acc = jnp.where(
-                c_out == 2, CODE_DROP,
-                jnp.where(c_out == 1,
-                          jnp.where(keep_both, CODE_INNER2,
-                                    jnp.where(ch_lhs, CODE_COPY_LHS,
-                                              CODE_COPY_RHS)),
-                          jnp.where(keep_both, CODE_KEEP,
-                                    jnp.where(ch_lhs, CODE_OUTER_A,
-                                              CODE_OUTER_B))))
-            code = jnp.where(is_acc, code_acc, code)
             code = jnp.where(is_act, code, CODE_DROP)
 
             # mark operands active (only where this clause is active);
             # boolean algebra instead of where() — Mosaic cannot select
             # on i1 vectors
-            mark_lhs = is_act & ((is_acc & (c_out != 2) & ~ch_rhs)
-                                 | (~is_acc & (keep_both | ch_lhs)))
-            mark_rhs = is_act & ((is_acc & (c_out != 2) & ~ch_lhs)
-                                 | (~is_acc
-                                    & (keep_both | (ch_rhs & rhs_is_reg))))
-            # ACC keeps the accumulator (out) alive unless the inner side
-            # won outright (c_out == 1)
-            acc_keep_out = is_acc & (c_out != 1)
+            mark_lhs = is_act & (keep_both | ch_lhs)
+            mark_rhs = is_act & (keep_both | (ch_rhs & rhs_is_reg))
             # clear out flag first (it may be re-marked if lhs/rhs == out)
-            act_ref[pl.ds(out, 1)] = jnp.where(
-                is_act & ~acc_keep_out, 0, active_out)[None]
+            act_ref[pl.ds(out, 1)] = jnp.where(is_act, 0, active_out)[None]
             a_l = act_ref[pl.ds(lhs, 1)][0]
             act_ref[pl.ds(lhs, 1)] = jnp.where(
                 mark_lhs & (lhs != 0), 1, a_l)[None]
@@ -911,16 +847,12 @@ def compact_runs(cmeta, words, imms, order, remap, codes,
 def build_remap(ops_present):
     """Branch table spec: returns (branch_ops tuple, remap np array (32,)).
 
-    branch id 0 is a NOP; COPY_IMM is always present (shortening can emit
-    it), and ACC ops pull in their demotion targets (2-ary min/max,
-    COPY_LHS/RHS).  ``ops_present`` order is PRESERVED — lax.switch lowers
+    branch id 0 is a NOP; COPY_IMM is always present (shortening can
+    emit it).  ``ops_present`` order is PRESERVED — lax.switch lowers
     to a linear predicate chain (~6 ns per branch per step,
     docs/perf_notes.md), so TapeData orders ops by frequency to put hot
     ops first."""
     extra = [int(Op.COPY_IMM)]
-    if any(int(o) >= ACC_OP_LO for o in ops_present):
-        extra += [int(Op.MIN_LHS_RHS), int(Op.MAX_LHS_RHS),
-                  int(Op.COPY_LHS), int(Op.COPY_RHS)]
     seen = set()
     branch_ops = []
     for o in tuple(ops_present) + tuple(extra):
@@ -977,11 +909,7 @@ def _make_pixel_run_kernel(branch_ops, s_cap):
                     cnt = hdr >> 8
 
                     def mk_branch(o):
-                        # ACC ops read the out slot's prior value as a
-                        # third operand (see tape/opcodes.py)
-                        f = (_float_acc_branch(o) if o >= ACC_OP_LO
-                             else all_br[o])
-                        needs_acc = o >= ACC_OP_LO
+                        f = all_br[o]
 
                         def br(t0, cnt):
                             def inner(k, _):
@@ -992,12 +920,8 @@ def _make_pixel_run_kernel(branch_ops, s_cap):
                                 rhs = (w >> 24) & 0xFF
                                 a = regs_ref[pl.ds(lhs, 1)][0]
                                 b = regs_ref[pl.ds(rhs, 1)][0]
-                                if needs_acc:
-                                    acc = regs_ref[pl.ds(out, 1)][0]
-                                    rv = f(a, b, acc, i_src(t))
-                                else:
-                                    rv = f(a, b, i_src(t))
-                                regs_ref[pl.ds(out, 1)] = rv[None]
+                                regs_ref[pl.ds(out, 1)] = f(
+                                    a, b, i_src(t))[None]
                                 return 0
                             lax.fori_loop(0, cnt, inner, 0)
                             return 0

@@ -38,24 +38,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernels import _float_acc_branch, _float_branch_list, _on_cpu
-from ..tape.opcodes import ACC_OP_LO, Op
-
-
-def _deriv_acc_branch(o: int):
-    """Dual-number ACC: pick-the-winner through OUTER(acc, INNER(a, b))."""
-    inner_max = bool((o - ACC_OP_LO) & 1)
-    outer_max = bool((o - ACC_OP_LO) & 2)
-
-    def sel(c, t, f):
-        return tuple(jnp.where(c, x, y) for x, y in zip(t, f))
-
-    def f(a, b, acc, imm):
-        igt = a[0] > b[0] if inner_max else a[0] < b[0]
-        p = sel(igt, a, b)
-        ogt = p[0] > acc[0] if outer_max else p[0] < acc[0]
-        return sel(ogt, p, acc)
-    return f
+from .kernels import _float_branch_list, _on_cpu
+from ..tape.opcodes import Op
 
 
 def _iota_plane(shape):
@@ -77,19 +61,15 @@ def _mat4_apply(matf_ref, wx, wy, wz):
 
 
 def _run_interp(branch_ops, regs_set, regs_get, run_src, w_src, i_src,
-                n_runs, branches, acc_branch_of=None):
-    """Shared run-dispatch interpreter loop (see kernels.py kernel B v2).
-
-    ``acc_branch_of(op)`` supplies branches for ACC ops (op >= 32), which
-    read the out slot's prior value as a third operand."""
+                n_runs, branches):
+    """Shared run-dispatch interpreter loop (see kernels.py kernel B v2)."""
     def outer(r, t0):
         hdr = run_src(r)
         bid = hdr & 0xFF
         cnt = hdr >> 8
 
         def mk_branch(o):
-            needs_acc = o >= ACC_OP_LO
-            f = acc_branch_of(o) if needs_acc else branches[o]
+            f = branches[o]
 
             def br(t0, cnt):
                 def inner(k, _):
@@ -98,12 +78,7 @@ def _run_interp(branch_ops, regs_set, regs_get, run_src, w_src, i_src,
                     out = (w >> 8) & 0xFF
                     lhs = (w >> 16) & 0xFF
                     rhs = (w >> 24) & 0xFF
-                    a = regs_get(lhs)
-                    b = regs_get(rhs)
-                    if needs_acc:
-                        regs_set(out, f(a, b, regs_get(out), i_src(t)))
-                    else:
-                        regs_set(out, f(a, b, i_src(t)))
+                    regs_set(out, f(regs_get(lhs), regs_get(rhs), i_src(t)))
                     return 0
                 lax.fori_loop(0, cnt, inner, 0)
                 return 0
@@ -193,8 +168,7 @@ def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side, n_rows):
                                 lambda r: runs_ref[0, k, r],
                                 lambda t: tw_ref[0, k, t],
                                 lambda t: ti_ref[0, k, t],
-                                gmeta_ref[0, k, 1], all_br,
-                                _float_acc_branch)
+                                gmeta_ref[0, k, 1], all_br)
 
                 @pl.when(overflow != 0)
                 def _():
@@ -202,8 +176,7 @@ def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side, n_rows):
                                 lambda r: runsF_ref[r],
                                 lambda t: words_ref[t],
                                 lambda t: imms_ref[t],
-                                nmeta_ref[6], all_br,
-                                _float_acc_branch)
+                                nmeta_ref[6], all_br)
 
                 vals_ref[0, k] = regs_ref[pl.ds(res, 1)][0]
 
@@ -465,8 +438,7 @@ def _make_deriv_kernel(branch_ops, s_cap, n_side, n_rows):
                             lambda r: runs_ref[0, 0, r],
                             lambda t_: tw_ref[0, 0, t_],
                             lambda t_: ti_ref[0, 0, t_],
-                            gmeta_ref[0, 0, 1], all_br,
-                            _deriv_acc_branch)
+                            gmeta_ref[0, 0, 1], all_br)
 
             @pl.when(overflow != 0)
             def _():
@@ -474,8 +446,7 @@ def _make_deriv_kernel(branch_ops, s_cap, n_side, n_rows):
                             lambda r: runsF_ref[r],
                             lambda t_: words_ref[t_],
                             lambda t_: imms_ref[t_],
-                            nmeta_ref[6], all_br,
-                            _deriv_acc_branch)
+                            nmeta_ref[6], all_br)
 
             out_ref[0] = regs_ref[pl.ds(res, 1)][0]
 

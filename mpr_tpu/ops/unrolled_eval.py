@@ -41,7 +41,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..tape.opcodes import ACC_OP_LO, Op, acc_inner_is_max, acc_outer_is_max
+from ..tape.opcodes import Op
 from ..tape.tape import Tape
 
 
@@ -68,14 +68,7 @@ def _walk(tape: Tape, sem, x, y, z, imms):
         op, o, l, r = ops[t], outs[t], lhss[t], rhss[t]
         a = slots.get(l)
         b = slots.get(r)
-        imm = imms[t]
-        if op >= ACC_OP_LO:
-            fi = sem.op_max if acc_inner_is_max(op) else sem.op_min
-            fo = sem.op_max if acc_outer_is_max(op) else sem.op_min
-            res = fo(slots[o], fi(a, b))
-        else:
-            res = sem.table[op](a, b, imm)
-        slots[o] = res
+        slots[o] = sem.table[op](a, b, imms[t])
     return slots[tape.result_slot]
 
 

@@ -155,11 +155,6 @@ def eval_f(tape: Tape, x, y, z=None) -> np.ndarray:
                 slots[o] = np.sqrt(a * a + b * b)
             elif op == Op.ADDSQ_LHS_RHS:
                 slots[o] = a * a + b
-            elif Op.ACCMIN_MIN <= op <= Op.ACCMAX_MAX:
-                from .tape.opcodes import acc_inner_is_max, acc_outer_is_max
-                fi = np.maximum if acc_inner_is_max(op) else np.minimum
-                fo = np.maximum if acc_outer_is_max(op) else np.minimum
-                slots[o] = fo(slots[o], fi(a, b))
             elif op == Op.INVALID:
                 break  # NOP padding / terminator
             else:
@@ -279,18 +274,6 @@ def eval_i(tape: Tape, xl, xh, yl, yh, zl=None, zh=None
             elif op == Op.ADDSQ_LHS_RHS:
                 sal, sah = i_square(al, ah)
                 lo[o], hi[o] = i_add(sal, sah, bl, bh)
-            elif Op.ACCMIN_MIN <= op <= Op.ACCMAX_MAX:
-                # two choice codes: inner (a vs b), then outer (inner
-                # result vs accumulator)
-                from .tape.opcodes import acc_inner_is_max, acc_outer_is_max
-                fi = i_max if acc_inner_is_max(op) else i_min
-                fo = i_max if acc_outer_is_max(op) else i_min
-                pl_, ph_, c1 = fi(al, ah, bl, bh)
-                rl_, rh_, c2 = fo(pl_, ph_, lo[o], hi[o])
-                lo[o], hi[o] = rl_, rh_
-                choices[ci] = c1
-                choices[ci + 1] = c2
-                ci += 2
             elif op == Op.INVALID:
                 break
             else:
@@ -448,18 +431,6 @@ def eval_d(tape: Tape, x, y, z=None) -> Tuple[np.ndarray, ...]:
                 v[o] = av * av + bv
                 dx[o], dy[o], dz[o] = (2 * av * ax + bx, 2 * av * ay + by,
                                        2 * av * az + bz)
-            elif Op.ACCMIN_MIN <= op <= Op.ACCMAX_MAX:
-                from .tape.opcodes import acc_inner_is_max, acc_outer_is_max
-
-                def _sel(cond, t, f):
-                    return tuple(np.where(cond, a_, b_)
-                                 for a_, b_ in zip(t, f))
-                i_gt = av > bv if acc_inner_is_max(op) else av < bv
-                p = _sel(i_gt, (av, ax, ay, az), (bv, bx, by, bz))
-                o_gt = (p[0] > v[o]) if acc_outer_is_max(op) else \
-                    (p[0] < v[o])
-                v[o], dx[o], dy[o], dz[o] = _sel(
-                    o_gt, p, (v[o], dx[o], dy[o], dz[o]))
             else:
                 raise ValueError(f"bad opcode {op}")
     rs = tape.result_slot
@@ -480,8 +451,6 @@ def shorten(tape: Tape, choices: np.ndarray) -> Tape:
     dropped.  Slots are NOT renumbered (same as the reference).
     """
     from .tape.tape import Tape as TapeCls
-    from .tape.opcodes import (ACC_OP_LO, ACC_OP_HI, acc_inner_is_max,
-                               acc_outer_is_max)
 
     kept: list = []   # (op, out, lhs, rhs, imm) in reverse order
     active = np.zeros(tape.num_slots, dtype=bool)
@@ -491,48 +460,11 @@ def shorten(tape: Tape, choices: np.ndarray) -> Tape:
     for t in range(tape.length - 1, -1, -1):
         op = int(tape.ops[t])
         has_choice = Op.MIN_LHS_IMM <= op <= Op.MAX_LHS_RHS
-        is_acc = ACC_OP_LO <= op <= ACC_OP_HI
         if has_choice:
             ci -= 1
-        if is_acc:
-            ci -= 2
         o, l, r = int(tape.outs[t]), int(tape.lhss[t]), int(tape.rhss[t])
         imm = float(tape.imms[t])
         if not active[o]:
-            continue
-        if is_acc:
-            # codes: inner (a vs b) then outer (inner result vs acc)
-            c_in, c_out = int(choices[ci]), int(choices[ci + 1])
-            inner2 = int(Op.MAX_LHS_RHS if acc_inner_is_max(op)
-                         else Op.MIN_LHS_RHS)
-            outer2 = int(Op.MAX_LHS_RHS if acc_outer_is_max(op)
-                         else Op.MIN_LHS_RHS)
-            if c_out == 2:
-                # accumulator wins: the clause is a no-op, keep the
-                # accumulator's producer alive (out stays active)
-                continue
-            if c_out == 1:
-                active[o] = False
-                if c_in == 0:
-                    active[l] = active[r] = True
-                    kept.append((inner2, o, l, r, 0.0))
-                elif c_in == 1:
-                    active[l] = True
-                    kept.append((int(Op.COPY_LHS), o, l, 0, 0.0))
-                else:
-                    active[r] = True
-                    kept.append((int(Op.COPY_RHS), o, 0, r, 0.0))
-                continue
-            # c_out == 0: both sides live; out stays active (acc read)
-            if c_in == 0:
-                active[l] = active[r] = True
-                kept.append((op, o, l, r, 0.0))
-            elif c_in == 1:
-                active[l] = True
-                kept.append((outer2, o, l, o, 0.0))
-            else:
-                active[r] = True
-                kept.append((outer2, o, r, o, 0.0))
             continue
         choice = int(choices[ci]) if has_choice else 0
         active[o] = False
@@ -558,9 +490,8 @@ def shorten(tape: Tape, choices: np.ndarray) -> Tape:
         kept.append((new_op, o, l, r, imm))
 
     kept.reverse()
-    n_ch = sum((1 if Op.MIN_LHS_IMM <= k[0] <= Op.MAX_LHS_RHS else
-                2 if ACC_OP_LO <= k[0] <= ACC_OP_HI else 0)
-               for k in kept)
+    n_ch = sum(1 for k in kept
+               if Op.MIN_LHS_IMM <= k[0] <= Op.MAX_LHS_RHS)
     return TapeCls(
         ops=np.asarray([k[0] for k in kept], dtype=np.int32),
         outs=np.asarray([k[1] for k in kept], dtype=np.int32),

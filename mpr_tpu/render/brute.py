@@ -177,11 +177,6 @@ def build_unrolled_f(tape: Tape):
                 res = jnp.sqrt(a * a + b * b)
             elif op == Op.ADDSQ_LHS_RHS:
                 res = a * a + b
-            elif Op.ACCMIN_MIN <= op <= Op.ACCMAX_MAX:
-                from ..tape.opcodes import acc_inner_is_max, acc_outer_is_max
-                fi = jnp.maximum if acc_inner_is_max(op) else jnp.minimum
-                fo = jnp.maximum if acc_outer_is_max(op) else jnp.minimum
-                res = fo(slots[o], fi(a, b))
             else:
                 raise ValueError(f"bad opcode {op}")
             slots[o] = res

@@ -207,38 +207,21 @@ def _shorten_prepass(codes, words, imms, length, remap, rows: int = 8):
     nib = jnp.where(t_idx[None, :] < length, nib, 0)
     keep = nib > 0
 
-    from ..tape.opcodes import ACC_OP_LO as _ACC_LO
     word = words[None, :]
     op = word & 0xFF
-    out = (word >> 8) & 0xFF
     lhs = (word >> 16) & 0xFF
     rhs = (word >> 24) & 0xFF
-    is_acc = op >= _ACC_LO
     is_min_imm = op == int(_Op.MIN_LHS_IMM)
     is_max_imm = op == int(_Op.MAX_LHS_IMM)
     imm_form = is_min_imm | is_max_imm
-    # plain choice-op rewrites (run-preserving; see kernels.py kernel C)
-    dup_rhs = (nib == kernels.CODE_COPY_LHS) & ~imm_form & ~is_acc
-    take_rhs = (nib == kernels.CODE_COPY_RHS) & ~is_acc
+    # choice-op rewrites (run-preserving; see kernels.py kernel C)
+    dup_rhs = (nib == kernels.CODE_COPY_LHS) & ~imm_form
+    take_rhs = nib == kernels.CODE_COPY_RHS
     inf_imm = (nib == kernels.CODE_COPY_LHS) & imm_form
     to_copy_imm = nib == kernels.CODE_COPY_IMM
     new_lhs = jnp.where(take_rhs, rhs, lhs)
     new_rhs = jnp.where(dup_rhs, lhs, rhs)
     new_op = jnp.where(to_copy_imm, int(Op.COPY_IMM), op)
-    # ACC-op rewrites (codes 2/3/5/6/7; see tape/opcodes.py semantics)
-    inner2 = int(_Op.MIN_LHS_RHS) + 2 * ((op - _ACC_LO) & 1)
-    outer2 = int(_Op.MIN_LHS_RHS) + ((op - _ACC_LO) & 2)
-    acc_copy_l = is_acc & (nib == kernels.CODE_COPY_LHS)
-    acc_copy_r = is_acc & (nib == kernels.CODE_COPY_RHS)
-    acc_inner2 = is_acc & (nib == kernels.CODE_INNER2)
-    acc_outer_a = is_acc & (nib == kernels.CODE_OUTER_A)
-    acc_outer_b = is_acc & (nib == kernels.CODE_OUTER_B)
-    new_op = jnp.where(acc_copy_l, int(Op.COPY_LHS),
-              jnp.where(acc_copy_r, int(Op.COPY_RHS),
-               jnp.where(acc_inner2, inner2,
-                jnp.where(acc_outer_a | acc_outer_b, outer2, new_op))))
-    new_lhs = jnp.where(acc_outer_b, rhs, new_lhs)
-    new_rhs = jnp.where(acc_outer_a | acc_outer_b, out, new_rhs)
     bid = remap[new_op]
     wrw = jnp.where(keep,
                     bid | (word & 0xFF00) | (new_lhs << 16) | (new_rhs << 24),

@@ -21,95 +21,26 @@ constant operand is skipped (the unfused imm-forms are cheaper).
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, NamedTuple, Set, Tuple
+from typing import Dict
 
 from ..frontend.tree import CONSTANT, Tree
-from .opcodes import Op
 
 
-class AccSite(NamedTuple):
-    """An outer min/max fused to OUTER(acc, INNER(a, b)); see opcodes.py."""
-    gpu_op: int
-    a: Tree
-    b: Tree
-    c: Tree          # the accumulator operand (dies at this clause)
-
-
-class AccPlan(NamedTuple):
-    sites: Dict[int, AccSite]   # outer node id -> site
-    dead: Set[int]              # fused-away inner node ids
-
-
-_ACC_BY_OPS = {
-    ("min", "min"): int(Op.ACCMIN_MIN),
-    ("min", "max"): int(Op.ACCMIN_MAX),
-    ("max", "min"): int(Op.ACCMAX_MIN),
-    ("max", "max"): int(Op.ACCMAX_MAX),
-}
-
-
-def acc_plan(tree: Tree) -> AccPlan:
-    """Plan min/max accumulate fusion: outer = OUTER(INNER(a,b), c) with
-    the inner AND c single-use and none of a/b/c constant (imm forms are
-    cheaper unfused).  CSG unions/intersections are min/max trees, so
-    alternating levels fuse (~half the chain clauses disappear)."""
-    order = tree.ordered_dfs()
-    uses: Counter = Counter()
-    for n in order:
-        for ch in n.children():
-            uses[ch.id] += 1
-
-    sites: Dict[int, AccSite] = {}
-    dead: Set[int] = set()
-    for n in order:
-        if n.op not in ("min", "max"):
-            continue
-        for inner, other in ((n.lhs, n.rhs), (n.rhs, n.lhs)):
-            if (inner.op in ("min", "max") and uses[inner.id] == 1
-                    and inner.id not in dead and inner.id not in sites
-                    and uses[other.id] == 1
-                    and inner.lhs.op != CONSTANT
-                    and inner.rhs.op != CONSTANT
-                    and other.op != CONSTANT
-                    and other.id not in (inner.lhs.id, inner.rhs.id)):
-                sites[n.id] = AccSite(_ACC_BY_OPS[(n.op, inner.op)],
-                                      inner.lhs, inner.rhs, other)
-                dead.add(inner.id)
-                break
-    return AccPlan(sites, dead)
-
-
-_CACHE: Dict[Tuple[int, bool], Tuple[Tree, "AccPlan"]] = {}
-
-# ACC min/max fusion cuts tape length a further ~10-15% (prospero:
-# 5435 -> 4660) but accumulator chains are SERIAL dependencies, so the
-# opcode-run scheduler cannot batch them — runs fragment (522 -> 965 on
-# prospero) and the per-run lax.switch dispatch cost outweighs the step
-# savings (measured: 4.0 -> 7.0 ms @1024).  The machinery stays fully
-# wired and tested; flip on when run dispatch is redesigned.
-ACC_DEFAULT = False
+_CACHE: Dict[int, Tree] = {}
 
 
 def fuse_tree(tree: Tree) -> Tree:
-    return fused_with_plan(tree)[0]
-
-
-def fused_with_plan(tree: Tree, acc: bool = None) -> Tuple[Tree, "AccPlan"]:
-    """Peephole-rewrite + ACC plan, memoized — trees are interned and
-    immutable, so the result is cached by node id (compile_tree may
-    recompile the same shape for several image sizes)."""
-    if acc is None:
-        acc = ACC_DEFAULT
-    key = (tree.id, acc)
-    hit = _CACHE.get(key)
+    """Peephole-rewrite, memoized — trees are interned and immutable, so
+    the result is cached by node id (compile_tree may recompile the same
+    shape for several image sizes)."""
+    hit = _CACHE.get(tree.id)
     if hit is not None:
         return hit
     fused = _fuse(tree)
-    out = (fused, acc_plan(fused) if acc else AccPlan({}, set()))
     if len(_CACHE) > 64:
         _CACHE.clear()
-    _CACHE[key] = out
-    return out
+    _CACHE[tree.id] = fused
+    return fused
 
 
 def _fuse(tree: Tree) -> Tree:

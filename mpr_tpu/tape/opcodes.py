@@ -62,31 +62,8 @@ class Op(enum.IntEnum):
     HYPOT_LHS_RHS = 30
     ADDSQ_LHS_RHS = 31
 
-    # Accumulate-fused min/max pairs: out = OUTER(out, INNER(lhs, rhs)).
-    # The third operand rides the out byte (legal because the fuser only
-    # fuses when that operand dies at this clause).  CSG union/intersect
-    # chains are min/max trees, so these cover 15-20% of typical tapes.
-    # Each records TWO choice codes: inner (a vs b), then outer
-    # (inner-result vs accumulator).  Encoding: 32 + 2*outer_is_max
-    # + inner_is_max.
-    ACCMIN_MIN = 32      # out = min(out, min(a, b))
-    ACCMIN_MAX = 33      # out = min(out, max(a, b))
-    ACCMAX_MIN = 34      # out = max(out, min(a, b))
-    ACCMAX_MAX = 35      # out = max(out, max(a, b))
 
-
-NUM_OPS = 36
-
-ACC_OP_LO = int(Op.ACCMIN_MIN)
-ACC_OP_HI = int(Op.ACCMAX_MAX)
-
-
-def acc_outer_is_max(op: int) -> bool:
-    return bool((op - ACC_OP_LO) & 2)
-
-
-def acc_inner_is_max(op: int) -> bool:
-    return bool((op - ACC_OP_LO) & 1)
+NUM_OPS = 32
 
 # Choice-recording ops: min/max in both forms.  The shortening pass relies on
 # this contiguous range exactly like /root/reference/src/context.cu:365-366.
@@ -99,8 +76,7 @@ CHOICE_OP_HI = int(Op.MAX_LHS_RHS)
 # /root/reference/src/context.cu:421-423,437-447).
 RHS_OPS = (Op.ADD_LHS_RHS, Op.MUL_LHS_RHS, Op.MIN_LHS_RHS, Op.MAX_LHS_RHS,
            Op.SUB_IMM_RHS, Op.SUB_LHS_RHS, Op.DIV_IMM_RHS, Op.DIV_LHS_RHS,
-           Op.COPY_RHS, Op.HYPOT_LHS_RHS, Op.ADDSQ_LHS_RHS,
-           Op.ACCMIN_MIN, Op.ACCMIN_MAX, Op.ACCMAX_MIN, Op.ACCMAX_MAX)
+           Op.COPY_RHS, Op.HYPOT_LHS_RHS, Op.ADDSQ_LHS_RHS)
 
 # Ops whose LHS byte names a live slot.
 LHS_OPS = (Op.SQUARE_LHS, Op.SQRT_LHS, Op.NEG_LHS, Op.SIN_LHS, Op.COS_LHS,
@@ -109,8 +85,7 @@ LHS_OPS = (Op.SQUARE_LHS, Op.SQRT_LHS, Op.NEG_LHS, Op.SIN_LHS, Op.COS_LHS,
            Op.ADD_LHS_IMM, Op.ADD_LHS_RHS, Op.MUL_LHS_IMM, Op.MUL_LHS_RHS,
            Op.MIN_LHS_IMM, Op.MIN_LHS_RHS, Op.MAX_LHS_IMM, Op.MAX_LHS_RHS,
            Op.SUB_LHS_IMM, Op.SUB_LHS_RHS, Op.DIV_LHS_IMM, Op.DIV_LHS_RHS,
-           Op.COPY_LHS, Op.HYPOT_LHS_RHS, Op.ADDSQ_LHS_RHS,
-           Op.ACCMIN_MIN, Op.ACCMIN_MAX, Op.ACCMAX_MIN, Op.ACCMAX_MAX)
+           Op.COPY_LHS, Op.HYPOT_LHS_RHS, Op.ADDSQ_LHS_RHS)
 
 # Ops that carry a float immediate.
 IMM_OPS = (Op.ADD_LHS_IMM, Op.MUL_LHS_IMM, Op.MIN_LHS_IMM, Op.MAX_LHS_IMM,
@@ -151,10 +126,6 @@ _OP_STR = {
     Op.COPY_RHS: "COPY_RHS",
     Op.HYPOT_LHS_RHS: "HYPOT_LHS_RHS",
     Op.ADDSQ_LHS_RHS: "ADDSQ_LHS_RHS",
-    Op.ACCMIN_MIN: "ACCMIN_MIN",
-    Op.ACCMIN_MAX: "ACCMIN_MAX",
-    Op.ACCMAX_MIN: "ACCMAX_MIN",
-    Op.ACCMAX_MAX: "ACCMAX_MAX",
 }
 
 

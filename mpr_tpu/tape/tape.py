@@ -125,21 +125,12 @@ class Tape:
         return "\n".join(lines)
 
 
-def _eff_operands(c: Tree, plan):
-    """Register operands after ACC fusion (tape/fuse.py plan)."""
-    if plan is not None:
-        s = plan.sites.get(c.id)
-        if s is not None:
-            return (s.a, s.b, s.c)
+def _eff_operands(c: Tree):
     return tuple(h for h in (c.lhs, c.rhs) if h is not None)
 
 
-def _gpu_op_of(c: Tree, plan=None) -> int:
+def _gpu_op_of(c: Tree) -> int:
     """The GPU opcode this node will compile to (imm-folding aware)."""
-    if plan is not None:
-        s = plan.sites.get(c.id)
-        if s is not None:
-            return s.gpu_op
     if c.op in _UNARY_GPU:
         return int(_UNARY_GPU[c.op])
     if c.op in _FUSED_GPU:
@@ -159,7 +150,7 @@ def _gpu_op_of(c: Tree, plan=None) -> int:
     raise TapeError(f"no GPU op for {c.op!r}")
 
 
-def _schedule_opruns(nodes, window: int = 256, plan=None):
+def _schedule_opruns(nodes, window: int = 256):
     """Reorder clauses into same-opcode runs (dependency-safe, windowed).
 
     TPU-specific scheduling pass with no reference counterpart: the Pallas
@@ -180,7 +171,7 @@ def _schedule_opruns(nodes, window: int = 256, plan=None):
     ndeps = [0] * n
     consumers = [[] for _ in nodes]
     for i, c in enumerate(nodes):
-        for h in _eff_operands(c, plan):
+        for h in _eff_operands(c):
             if h.id in index:
                 ndeps[i] += 1
                 consumers[index[h.id]].append(i)
@@ -190,7 +181,7 @@ def _schedule_opruns(nodes, window: int = 256, plan=None):
 
     def push(i):
         if not inqueue[i]:
-            ready.setdefault(_gpu_op_of(nodes[i], plan), deque()).append(i)
+            ready.setdefault(_gpu_op_of(nodes[i]), deque()).append(i)
             inqueue[i] = True
 
     frontier = 0
@@ -238,13 +229,12 @@ def compile_tree(tree: Tree, schedule: str = "opruns",
     hypot/addsq compound ops cut interpreter steps 10-15% on the
     benchmark models with identical float semantics.
     """
-    plan = None
     if fuse:
-        from .fuse import fused_with_plan
-        tree, plan = fused_with_plan(tree)
+        from .fuse import fuse_tree
+        tree = fuse_tree(tree)
     if backend in ("auto", "native"):
         from ..native import compile_native
-        t = compile_native(tree, schedule, plan)
+        t = compile_native(tree, schedule)
         if t is not None:
             return t
         if backend == "native":
@@ -273,8 +263,6 @@ def compile_tree(tree: Tree, schedule: str = "opruns",
         if op in UNSUPPORTED:
             raise TapeError(f"unimplemented opcode {op!r} in tape compiler "
                             "(parity with /root/reference/src/tape.cpp:182-196)")
-        if plan is not None and c.id in plan.dead:
-            continue  # fused into its consumer (ACC site)
         ordered_fast.append(c)
 
     if schedule == "opruns":
@@ -283,28 +271,25 @@ def compile_tree(tree: Tree, schedule: str = "opruns",
         base = ordered_fast
         for window in (512, 384, 256, 128, 64, 32, 0):
             try:
-                reordered = (_schedule_opruns(base, window, plan) if window
+                reordered = (_schedule_opruns(base, window) if window
                              else base)
-                return _emit(tree, ordered, reordered, last_used, axes_used,
-                             plan)
+                return _emit(tree, ordered, reordered, last_used, axes_used)
             except TapeError:
                 if window == 0:
                     raise
         raise AssertionError("unreachable")
     elif schedule == "dfs":
-        return _emit(tree, ordered, ordered_fast, last_used, axes_used, plan)
+        return _emit(tree, ordered, ordered_fast, last_used, axes_used)
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
 
 
-def _emit(tree, ordered, ordered_fast, last_used, axes_used,
-          plan=None) -> Tape:
+def _emit(tree, ordered, ordered_fast, last_used, axes_used) -> Tape:
     """Slot allocation + clause emission for a fixed clause order."""
     last_used = dict(last_used)
-    # liveness follows the FINAL emission order (effective operands:
-    # ACC-fused clauses read the inner's children plus the accumulator)
+    # liveness follows the FINAL emission order
     for c in ordered_fast:
-        for h in _eff_operands(c, plan):
+        for h in _eff_operands(c):
             last_used[h.id] = c.id
 
     # ---- slot allocation ---------------------------------------------------
@@ -348,30 +333,6 @@ def _emit(tree, ordered, ordered_fast, last_used, axes_used,
     for c in ordered_fast:
         op = c.op
         o_op, o_lhs, o_rhs, o_imm = 0, 0, 0, 0.0
-        site = plan.sites.get(c.id) if plan is not None else None
-        if site is not None:
-            # ACC fusion: out = OUTER(acc, INNER(a, b)); the accumulator's
-            # slot becomes the output slot (it dies at this clause)
-            o_op = site.gpu_op
-            o_lhs, o_rhs = get_reg(site.a), get_reg(site.b)
-            c_reg = get_reg(site.c)
-            freed = set()
-            for h in (site.a, site.b):
-                if (h.op != CONSTANT and last_used.get(h.id) == c.id
-                        and h.id not in freed):
-                    s = bound_slots.pop(h.id, None)
-                    if s is not None:
-                        free_slots.append(s)
-                        freed.add(h.id)
-            bound_slots.pop(site.c.id, None)
-            bound_slots[c.id] = c_reg
-            num_choices += 2
-            ops.append(int(o_op))
-            outs.append(c_reg)
-            lhss.append(o_lhs)
-            rhss.append(o_rhs)
-            imms.append(0.0)
-            continue
         if op in _UNARY_GPU:
             o_op = _UNARY_GPU[op]
             o_lhs = get_reg(c.lhs)

@@ -85,3 +85,73 @@ def test_sharded_3d_matches_single_chip():
         assert np.allclose(n_s[m], n_1[m], atol=2e-3)
         print("OK")
     """)
+
+
+def test_two_process_distributed_init():
+    """Two real processes wired by jax.distributed (CPU backend, 2 virtual
+    devices each -> a 4-device global mesh): distributed.init() +
+    global_mesh() + a sharded render must match the single-device image.
+    This exercises parallel/distributed.py end-to-end (VERDICT round-1
+    item 5a)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    body = f"""
+        import sys
+        import numpy as np
+        from mpr_tpu.parallel import distributed, sharded
+        from mpr_tpu.frontend import shapes
+        from mpr_tpu.tape.tape import compile_tree
+
+        pid = int(sys.argv[1])
+        distributed.init(coordinator_address="127.0.0.1:{port}",
+                         num_processes=2, process_id=pid)
+        import jax
+        assert jax.process_count() == 2, jax.process_count()
+        assert jax.device_count() == 4, jax.device_count()
+        mesh = distributed.global_mesh()
+        assert mesh.devices.size == 4
+
+        tape = compile_tree(shapes.ring(0.8, 0.4))
+        import jax.numpy as jnp
+        from mpr_tpu.ops.tape_data import TapeData
+        td = TapeData.from_tape(tape)
+        from mpr_tpu.render import camera
+        img = sharded._render2d_sharded_jit(
+            td, jnp.asarray(camera.identity2()), jnp.float32(0.0), 256,
+            mesh)
+        # multi-host arrays: each process addresses only its own shards;
+        # compare each against the matching oracle block
+        from mpr_tpu import oracle
+        p = camera.pixel_centers(256)
+        X, Y = np.meshgrid(p, p)
+        ref = oracle.eval_f(tape, X, Y) < 0
+        assert img.shape == (256, 256)
+        n_checked = 0
+        for sh in img.addressable_shards:
+            (ys, xs) = sh.index
+            assert (np.asarray(sh.data) == ref[ys, xs]).all()
+            n_checked += 1
+        assert n_checked >= 1
+        print("OK", pid)
+    """
+    import textwrap
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=2")
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", textwrap.dedent(body), str(pid)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0, f"distributed proc failed:\n{out}"
+        assert "OK" in out
