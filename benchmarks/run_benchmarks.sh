@@ -22,19 +22,25 @@ run() { echo "== $*" | tee -a "$OUT/log.txt"; "$@" 2>>"$OUT/stderr.txt" | tee -a
 
 # 2D tables (render_2d_table analog; prospero is the headline model)
 run python -m mpr_tpu.cli table2d "$FILES/prospero.frep"
+run python -m mpr_tpu.cli table2d "$FILES/prospero.frep" --engine interp --sizes 256,512,1024,2048
 run python -m mpr_tpu.cli table2d "$FILES/involute_gear_2d.frep" --sizes 256,512,1024,2048
 
-# 3D tables (render_3d_table analog)
+# 3D tables (render_3d_table analog; reference sizes 256-2048 with the
+# 750 ms abort row, benchmark/render_3d_table.cpp:51,71-73)
 for m in architecture involute_gear_3d bear; do
-  run python -m mpr_tpu.cli table3d "$FILES/$m.frep" --sizes 256,512,1024
+  run python -m mpr_tpu.cli table3d "$FILES/$m.frep" --sizes 256,512,1024,1536,2048
 done
 
-# render artifacts
-run python -m mpr_tpu.cli render2d "$FILES/prospero.frep" --size 1024 --out "$OUT/prospero_2d.png"
+# render artifacts + automated oracle cross-check at the benchmark size
+# (render_2d.cpp:71-74 analog; VERDICT round-1 item 3: exactness at the
+# sizes we benchmark, not just at test sizes)
+run python -m mpr_tpu.cli render2d "$FILES/prospero.frep" --size 1024 --check --out "$OUT/prospero_2d.png"
+run python -m mpr_tpu.cli render2d "$FILES/prospero.frep" --size 1024 --engine unrolled --check --out "$OUT/prospero_2d_unrolled.png"
 run python -m mpr_tpu.cli render3d "$FILES/bear.frep" --size 512 --mode all --out "$OUT/bear.png"
 run python -m mpr_tpu.cli heatmap2d "$FILES/prospero.frep" --out "$OUT/prospero_heat.png"
 run python -m mpr_tpu.cli shorten-stats "$FILES/prospero.frep"
 run python -m mpr_tpu.cli tape-time "$FILES/prospero.frep"
 run python bench.py
+run python benchmarks/scaling_curve.py
 
 echo "results in $OUT"

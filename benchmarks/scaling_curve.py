@@ -33,6 +33,7 @@ import sys
 import textwrap
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 _CHILD = """
     import sys, time

@@ -144,9 +144,9 @@ def _make_voxel_kernel(branch_ops, s_cap, cpi, n_side, n_rows):
                 bx = (tx * 64 + cxi * 16).astype(jnp.float32)
                 by = (ty * 64 + cyi * 16).astype(jnp.float32)
                 bz = (tz * 64 + czi * 16).astype(jnp.float32)
-                wx = ((bx + vx + 0.5) / size - 0.5) * 2.0
-                wy = ((by + vy + 0.5) / size - 0.5) * 2.0
-                wz = ((bz + vz + 0.5) / size - 0.5) * 2.0
+                wx = (bx + vx + 0.5) / size * 2.0 - 1.0
+                wy = (by + vy + 0.5) / size * 2.0 - 1.0
+                wz = (bz + vz + 0.5) / size * 2.0 - 1.0
                 x, y, z = _mat4_apply(matf_ref, wx, wy, wz)
 
                 regs_ref[pl.ds(sx, 1)] = x[None]
@@ -394,9 +394,9 @@ def _make_deriv_kernel(branch_ops, s_cap, n_side, n_rows):
             # filled voxel index + 1, so voxel index d is the first empty
             # (/root/reference/src/context.cu:1001-1005)
             zi = jnp.minimum(d, size - 1).astype(jnp.float32)
-            wx = ((tx * 64 + px + 0.5) / size - 0.5) * 2.0
-            wy = ((ty * 64 + py + 0.5) / size - 0.5) * 2.0
-            wz = ((zi + 0.5) / size - 0.5) * 2.0
+            wx = (tx * 64 + px + 0.5) / size * 2.0 - 1.0
+            wy = (ty * 64 + py + 0.5) / size * 2.0 - 1.0
+            wz = (zi + 0.5) / size * 2.0 - 1.0
             x, y, z = _mat4_apply(matf_ref, wx, wy, wz)
 
             one = jnp.ones_like(x)

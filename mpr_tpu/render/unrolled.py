@@ -186,8 +186,8 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
     p = jnp.arange(64, dtype=jnp.int32)
     gpx = (gx8_c[:, None] * 8 + (p % 8)[None, :]).reshape(-1)
     gpy = (gy8_c[:, None] * 8 + (p // 8)[None, :]).reshape(-1)
-    fx = ((gpx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-    fy = ((gpy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
+    fx = (gpx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+    fy = (gpy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
     px_, py_ = barrier(camera.transform2(mat, fx, fy, jnp))
     v = f(px_, py_, jnp.full_like(px_, z))
     px_ok = jnp.arange(p8 * 64, dtype=jnp.int32) < (
@@ -322,9 +322,9 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
         gvx = (g16x_c[:, None] * 16 + vx16[None, :]).reshape(-1)
         gvy = (g16y_c[:, None] * 16 + vy16[None, :]).reshape(-1)
         gvz = (g16z_c[:, None] * 16 + (vv // 256)[None, :]).reshape(-1)
-        fx = ((gvx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-        fy = ((gvy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-        fz = ((gvz.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
+        fx = (gvx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        fy = (gvy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        fz = (gvz.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
         wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
         val = f(wx, wy, wz)
         okV = jnp.arange(c1 * 4096) < jnp.minimum(n1, c1) * 4096
@@ -376,9 +376,9 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
     gvx = (g4x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
     gvy = (g4y_c[:, None] * 4 + cy4[None, :]).reshape(-1)
     gvz = (g4z_c[:, None] * 4 + cz4[None, :]).reshape(-1)
-    fx = ((gvx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-    fy = ((gvy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-    fz = ((gvz.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
+    fx = (gvx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+    fy = (gvy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+    fz = (gvz.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
     wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
     val = f(wx, wy, wz)
     okV = jnp.arange(c2 * 64) < jnp.minimum(n2, c2) * 64
@@ -419,9 +419,9 @@ def _normals_pass(fd, mat, depth, size: int, pn: int, counters):
     gpx = (tx_c[:, None] * TILE + (pp % TILE)[None, :]).reshape(-1)
     gpy = (ty_c[:, None] * TILE + (pp // TILE)[None, :]).reshape(-1)
     zi = jnp.minimum(d.reshape(-1), size - 1).astype(jnp.float32)
-    fx = ((gpx.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-    fy = ((gpy.astype(jnp.float32) + 0.5) / size - 0.5) * 2.0
-    fz = ((zi + 0.5) / size - 0.5) * 2.0
+    fx = (gpx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+    fy = (gpy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+    fz = (zi + 0.5) / size * 2.0 - 1.0
     wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
     _, dx, dy, dz = fd(wx, wy, wz)
     norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)

@@ -12,14 +12,16 @@ from mpr_tpu.render.pipeline3d import render3d
 from mpr_tpu.tape.tape import compile_tree
 
 
-def _check(tree, size, mat=None, tol_px=0.002):
+def _check(tree, size, mat=None):
     tape = compile_tree(tree)
     depth, normals = render3d(tape, mat=mat, size=size)
     ref = render3d_brute(tape, mat=mat, size=size)
-    # depth values land within one voxel at tile/sign boundaries; require
-    # exact match on the overwhelming majority of pixels
+    # exact: the staged pipeline evaluates voxels with the identical
+    # float semantics AND the identical coordinate arithmetic as brute
+    # ((i+0.5)/size*2-1; a differently-rounded formula caused the former
+    # one-voxel boundary tolerance)
     mism = (depth != ref).mean()
-    assert mism <= tol_px, f"depth mismatch fraction {mism}"
+    assert mism == 0, f"depth mismatch fraction {mism}"
     assert normals.shape == (size, size, 3)
     # normals unit-length where depth > 0
     m = depth > 0
@@ -44,7 +46,7 @@ def test_two_spheres_rotated():
 
 def test_bear(models_dir):
     tree = frep.load(str(models_dir / "bear.frep"))[0].tree
-    _check(tree, 256, mat=camera.bench3d_view(), tol_px=0.004)
+    _check(tree, 256, mat=camera.bench3d_view())
 
 
 def test_gyroid_normals_vs_autodiff():

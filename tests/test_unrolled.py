@@ -240,3 +240,50 @@ def test_render3d_skip4_exact(spheres_tape):
     assert r._skip4(128)
     d_u, _ = r.render3d(size=128, with_normals=False)
     assert (d_u == brute.render3d_brute(spheres_tape, size=128)).all()
+
+
+@pytest.mark.parametrize("name", ["prospero", "involute_gear_2d",
+                                  "architecture", "bear"])
+def test_pixel_gradients_match_scan(name):
+    """BASELINE.md: d(pixels)/d(tape constants) allclose on the paper
+    models — the unrolled engine's pixel stage (take_imms) against the
+    scan interpreter's autodiff, at pixel centers of a coarse grid."""
+    import jax
+    import jax.numpy as jnp
+    from mpr_tpu.ops import eval_scan
+    from mpr_tpu.ops.tape_data import TapeData
+
+    tape = _model_tape(name)
+    f = ue.build_float(tape, take_imms=True)
+    td = TapeData.from_tape(tape)
+    p = (np.arange(24, dtype=np.float32) + 0.5) / 24 * 2 - 1
+    X, Y = np.meshgrid(p, p)
+    x = jnp.asarray(X.ravel())
+    y = jnp.asarray(Y.ravel())
+    z = jnp.zeros_like(x) if name in ("prospero", "involute_gear_2d") \
+        else jnp.asarray(np.tile(p, 24))
+    # weight surface-region pixels (finite, |f| small); out-of-domain
+    # pixels produce NaN cotangents through dead sqrt/log branches in
+    # BOTH engines identically — the parity claim is about valid pixels
+    v0 = np.asarray(f(x, y, z, jnp.asarray(tape.imms)))
+    sel = np.isfinite(v0) & (np.abs(v0) < 2.0)
+    assert sel.mean() > 0.15
+    w = jnp.asarray((np.random.RandomState(7).uniform(
+        0.5, 1.0, x.shape[0]) * sel).astype(np.float32))
+
+    g_u = jax.grad(lambda im_: jnp.sum(f(x, y, z, im_) * w))(
+        jnp.asarray(tape.imms))
+
+    def loss_scan(im_):
+        padded = jnp.zeros((td.capacity,), jnp.float32).at[
+            :tape.length].set(im_)
+        return jnp.sum(eval_scan.eval_f(td.replace_imms(padded),
+                                        x, y, z) * w)
+    g_s = jax.grad(loss_scan)(jnp.asarray(tape.imms))
+    gu, gs = np.asarray(g_u), np.asarray(g_s)
+    # identical NaN patterns, allclose on the finite set
+    assert (np.isfinite(gu) == np.isfinite(gs)).all()
+    m = np.isfinite(gs)
+    assert m.sum() > 100
+    np.testing.assert_allclose(gu[m], gs[m], rtol=5e-4,
+                               atol=np.abs(gs[m]).max() * 1e-5)
