@@ -1,32 +1,42 @@
-"""Live viewer: the TPU-side analog of the reference's GUI (L5a).
+"""Interactive viewer: the TPU-side analog of the reference's GUI (L5a).
 
-The reference embeds a Guile Scheme editor whose script evaluates to
-shapes that re-render on every edit (/root/reference/gui/main.cpp:263-302,
-gui/interpreter.cpp).  Here the scripting language IS Python — the
-frontend DSL replaces libfive-guile — and the display is a browser page
-(this environment is headless; CUDA-GL interop has no TPU analog, so the
-render travels as PNG bytes over HTTP instead of a GL surface):
+The reference embeds a Guile Scheme editor pane plus an orbit camera
+(pan/rotate/zoom, /root/reference/gui/main.cpp:184-228) and mode/size
+panes (:304-336); shapes re-render on every edit (:263-302).  Here the
+scripting language IS Python — the frontend DSL replaces libfive-guile —
+and the display is a browser page (headless environment; CUDA-GL interop
+has no TPU analog, so frames travel as PNG over HTTP):
 
     python -m mpr_tpu.viewer examples/hello_world.py --serve 8000
-    python -m mpr_tpu.viewer examples/gear.py --watch --out /tmp/view.png
 
-Script protocol (the analog of the .io directives,
-/root/reference/gui/examples/architecture.io):
-  * define ``shape`` (a Tree) or ``shapes`` (a list of Trees);
-  * optional module-level settings: SIZE (256/512/1024/2048), MODE
-    ("2d" | "heightmap" | "normals" | "ssao" | "shaded"), VIEW
-    (4x4 matrix or (yaw, pitch, perspective) tuple).
+In the browser:
+  * left pane: the script in a live editor; Ctrl-Enter (or Run) re-renders,
+    errors show inline (interpreter.cpp:67-103 analog), Save writes the
+    file back (the GUI's Cmd-S, gui/main.cpp:230-247);
+  * right pane: drag = orbit (3D) / pan (2D), Shift-drag = pan,
+    wheel = zoom — POSTed to the server, which rebuilds the view matrix
+    and re-renders (the reference's Eigen::Affine3f assembly,
+    gui/main.cpp:117-137);
+  * mode (2d/heightmap/normals/ssao/shaded) and size selectors.
 
-Multi-shape scenes composite like the GUI's append mode
-(/root/reference/gui/tex.cu:35-147): 2D fills OR together; 3D depths
-take the per-pixel max with the winning shape's normals.
+Rendering uses the interpreter engine (pipeline2d/3d): no per-shape
+compile, so edits re-render in tens of ms — the regime this engine
+exists for (render/unrolled.py is the repeated-render production path).
+
+Script protocol (the .io directive analog, gui/examples/architecture.io):
+define ``shape`` (a Tree) or ``shapes`` (a list); optional SIZE, MODE,
+VIEW ((yaw, pitch, perspective) or a 4x4 matrix) give the initial
+settings.  Multi-shape scenes composite like the GUI's append mode
+(gui/tex.cu:35-147): 2D fills OR together; 3D depths take the per-pixel
+max with the winning shape's normals.
 """
 
 from __future__ import annotations
 
 import argparse
 import http.server
-import io
+import json
+import math
 import os
 import sys
 import threading
@@ -36,79 +46,139 @@ import numpy as np
 
 _PAGE = b"""<!doctype html>
 <title>mpr_tpu viewer</title>
-<body style="margin:0;background:#111;color:#ccc;font:13px monospace">
-<div id=s style="padding:4px"></div>
-<img id=v style="image-rendering:pixelated;max-width:100vw">
+<body style="margin:0;background:#14161a;color:#ccc;font:13px monospace;display:flex;height:100vh">
+<div style="width:420px;display:flex;flex-direction:column;padding:6px;gap:6px">
+  <div>
+    <button id=run>Run (Ctrl-Enter)</button>
+    <button id=save>Save</button>
+    <select id=mode>
+      <option>2d</option><option>heightmap</option><option>normals</option>
+      <option>ssao</option><option selected>shaded</option>
+    </select>
+    <select id=size>
+      <option>256</option><option selected>512</option>
+      <option>1024</option><option>2048</option>
+    </select>
+  </div>
+  <textarea id=src spellcheck=false
+    style="flex:1;background:#1b1e24;color:#d8d8d8;border:1px solid #333;font:12px monospace"></textarea>
+  <pre id=err style="color:#ff7b72;white-space:pre-wrap;min-height:3em;margin:0"></pre>
+</div>
+<div style="flex:1;display:flex;flex-direction:column">
+  <div id=stat style="padding:4px"></div>
+  <img id=v draggable=false
+    style="image-rendering:pixelated;max-width:100%;max-height:95vh;cursor:grab">
+</div>
 <script>
+let seq = -1, drag = null;
+const el = id => document.getElementById(id);
+async function post(body) {
+  await fetch('/update', {method: 'POST', body: JSON.stringify(body)});
+}
 async function tick() {
   try {
-    const r = await fetch('/status'); const j = await r.json();
-    document.getElementById('s').textContent =
-      `${j.script}  ${j.mode} ${j.size}px  render ${j.ms} ms  #${j.seq}`;
-    document.getElementById('v').src = '/frame.png?seq=' + j.seq;
+    const j = await (await fetch('/status')).json();
+    el('stat').textContent =
+      `${j.script} ${j.mode} ${j.size}px render ${j.ms} ms ` +
+      `yaw ${j.cam.yaw.toFixed(2)} pitch ${j.cam.pitch.toFixed(2)} ` +
+      `zoom ${(1 / j.cam.scale).toFixed(2)}x  #${j.seq}`;
+    el('err').textContent = j.error || '';
+    if (j.seq !== seq) { seq = j.seq; el('v').src = '/frame.png?s=' + seq; }
   } catch (e) {}
-  setTimeout(tick, 500);
+  setTimeout(tick, 250);
 }
-tick();
+fetch('/script').then(r => r.text()).then(t => { el('src').value = t; tick(); });
+el('run').onclick = () => post({script: el('src').value});
+el('save').onclick = () => post({script: el('src').value, save: true});
+el('src').onkeydown = e => {
+  if (e.ctrlKey && e.key === 'Enter') { e.preventDefault(); el('run').click(); }
+};
+el('mode').onchange = () => post({mode: el('mode').value});
+el('size').onchange = () => post({size: +el('size').value});
+const img = el('v');
+img.onmousedown = e => { drag = {x: e.clientX, y: e.clientY, pan: e.shiftKey}; };
+window.onmouseup = () => { drag = null; };
+window.onmousemove = e => {
+  if (!drag) return;
+  const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+  drag.x = e.clientX; drag.y = e.clientY;
+  post(drag.pan ? {pan: [dx, dy]} : {orbit: [dx, dy]});
+};
+img.onwheel = e => { e.preventDefault(); post({zoom: e.deltaY > 0 ? 1.1 : 1/1.1}); };
 </script>
 """
 
 
 class ViewerState:
     def __init__(self):
+        self.src = ""
+        self.path = ""
+        self.cam = {"yaw": 0.7, "pitch": -1.0, "persp": 0.3,
+                    "scale": 1.0, "panx": 0.0, "pany": 0.0}
+        self.mode = "shaded"
+        self.size = 512
         self.png = b""
         self.seq = 0
         self.ms = 0.0
-        self.mode = ""
-        self.size = 0
-        self.script = ""
+        self.error = ""
         self.lock = threading.Lock()
+        self.dirty = threading.Event()
 
 
-def _eval_script(path: str):
-    """Run the script with the DSL preloaded; collect shapes + settings
-    (the interpreter.cpp analog — errors are reported, not fatal)."""
+def _eval_src(src: str, path: str = "<viewer>"):
+    """Run script text with the DSL preloaded; collect shapes + settings
+    (the interpreter.cpp analog — errors are raised to the caller, which
+    reports them in the page instead of crashing)."""
     from .frontend import shapes as shapelib
     from .frontend import tree as treelib
     env = {"__builtins__": __builtins__}
     env.update({k: getattr(shapelib, k) for k in dir(shapelib)
                 if not k.startswith("_")})
     for k in ("x", "y", "z", "const", "minimum", "maximum", "sqrt",
-              "square", "Tree"):
-        env[k] = getattr(treelib, k)
-    with open(path) as f:
-        src = f.read()
+              "square", "sin", "cos", "exp", "Tree"):
+        if hasattr(treelib, k):
+            env[k] = getattr(treelib, k)
     exec(compile(src, path, "exec"), env)
     out = env.get("shapes")
     if out is None:
         out = [env["shape"]] if "shape" in env else []
-    settings = {"size": int(env.get("SIZE", 512)),
-                "mode": str(env.get("MODE", "shaded")),
+    settings = {"size": env.get("SIZE"), "mode": env.get("MODE"),
                 "view": env.get("VIEW", None)}
     return list(out), settings
 
 
-def _view_matrix(view, mode):
-    from .render import camera
-    if view is None:
-        return (camera.identity2() if mode == "2d"
-                else camera.gui3d_view())
-    v = np.asarray(view, np.float32)
-    if v.shape == (3,):
-        return camera.gui3d_view(float(v[0]), float(v[1]), float(v[2]))
-    return v
+def view_matrix(cam: dict, mode: str) -> np.ndarray:
+    """Camera dict -> homogeneous matrix, like the GUI's matrix assembly
+    from pan/rotate/zoom state (/root/reference/gui/main.cpp:117-137,
+    184-228).  The matrix maps screen coords to shape space, so zoom-in
+    means scale < 1."""
+    from .render import camera as C
+    s = float(cam["scale"])
+    if mode == "2d":
+        m = np.eye(3, dtype=np.float32)
+        m[0, 0] = m[1, 1] = s
+        m[0, 2] = float(cam["panx"])
+        m[1, 2] = float(cam["pany"])
+        return m
+    m = (C.rot_x4(float(cam["pitch"])) @ C.rot_z4(float(cam["yaw"])))
+    m[:3, :] *= s
+    m[0, 3] = float(cam["panx"])
+    m[1, 3] = float(cam["pany"])
+    m[3, 2] = float(cam["persp"]) * s
+    return m.astype(np.float32)
 
 
-def render_script(path: str):
-    """Render the script once; returns (rgb uint8 image, settings, ms)."""
+def render_scene(src: str, cam: dict, mode: str, size: int):
+    """Render script text under the given camera; returns (rgb u8, ms)."""
     from .render import effects
     from .render.pipeline2d import render2d
     from .render.pipeline3d import render3d
     from .tape.tape import compile_tree
 
-    shapes, st = _eval_script(path)
-    size, mode = st["size"], st["mode"]
-    mat = _view_matrix(st["view"], mode)
+    shapes, _ = _eval_src(src)
+    if not shapes:
+        raise ValueError("script defines no `shape` or `shapes`")
+    mat = view_matrix(cam, mode)
     t0 = time.perf_counter()
     if mode == "2d":
         acc = np.zeros((size, size), bool)
@@ -134,8 +204,7 @@ def render_script(path: str):
         else:
             sh = np.asarray(effects.draw_shaded(depth, normals))
             img = (sh * 255).astype(np.uint8)[::-1]
-    ms = (time.perf_counter() - t0) * 1e3
-    return img, st, ms
+    return img, (time.perf_counter() - t0) * 1e3
 
 
 def _png_bytes(img) -> bytes:
@@ -150,85 +219,182 @@ def _png_bytes(img) -> bytes:
     return data
 
 
-def _watch_loop(path, state: ViewerState, once=False, out=None):
-    last_mtime = 0.0
+def _apply_script_settings(state: ViewerState, settings: dict) -> None:
+    if settings.get("size"):
+        state.size = int(settings["size"])
+    if settings.get("mode"):
+        state.mode = str(settings["mode"])
+    v = settings.get("view")
+    if v is not None:
+        v = np.asarray(v, np.float32)
+        if v.shape == (3,):
+            state.cam.update(yaw=float(v[0]), pitch=float(v[1]),
+                             persp=float(v[2]))
+
+
+def _render_worker(state: ViewerState, out=None):
+    while True:
+        state.dirty.wait()
+        state.dirty.clear()
+        with state.lock:
+            src, cam = state.src, dict(state.cam)
+            mode, size = state.mode, state.size
+        try:
+            img, ms = render_scene(src, cam, mode, size)
+            png = _png_bytes(img)
+            err = ""
+        except Exception as e:  # script errors show in the page
+            png, ms, err = None, 0.0, f"{type(e).__name__}: {e}"
+        with state.lock:
+            if png is not None:
+                state.png = png
+                state.ms = round(ms, 1)
+            state.error = err
+            state.seq += 1
+        if out and png is not None:
+            with open(out, "wb") as f:
+                f.write(png)
+
+
+def _watch_worker(state: ViewerState):
+    """Re-render when the script file changes on disk (external editors
+    keep working alongside the in-page one)."""
+    last = None
     while True:
         try:
-            m = os.stat(path).st_mtime
+            m = os.stat(state.path).st_mtime
+            if m != last:
+                if last is not None:
+                    with open(state.path) as f:
+                        src = f.read()
+                    with state.lock:
+                        state.src = src
+                    state.dirty.set()
+                last = m
         except OSError:
-            time.sleep(0.3)
-            continue
-        if m != last_mtime:
-            last_mtime = m
-            try:
-                img, st, ms = render_script(path)
-                png = _png_bytes(img)
-                with state.lock:
-                    state.png = png
-                    state.seq += 1
-                    state.ms = round(ms, 1)
-                    state.mode = st["mode"]
-                    state.size = st["size"]
-                    state.script = os.path.basename(path)
-                if out:
-                    with open(out, "wb") as f:
-                        f.write(png)
-                print(f"rendered #{state.seq} {st['mode']} "
-                      f"{st['size']}px in {ms:.1f} ms", file=sys.stderr)
-            except Exception as e:  # script errors are shown, not fatal
-                print(f"script error: {e!r}", file=sys.stderr)
-        if once:
-            return
-        time.sleep(0.3)
+            pass
+        time.sleep(0.4)
 
 
-def serve(path: str, port: int, out=None):
-    state = ViewerState()
-    threading.Thread(target=_watch_loop, args=(path, state),
-                     kwargs={"out": out}, daemon=True).start()
-
+def make_handler(state: ViewerState):
     class H(http.server.BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
 
-        def do_GET(self):
-            if self.path.startswith("/frame.png"):
-                with state.lock:
-                    body, ctype = state.png, "image/png"
-            elif self.path.startswith("/status"):
-                import json
-                with state.lock:
-                    body = json.dumps({
-                        "seq": state.seq, "ms": state.ms,
-                        "mode": state.mode, "size": state.size,
-                        "script": state.script}).encode()
-                ctype = "application/json"
-            else:
-                body, ctype = _PAGE, "text/html"
+        def _send(self, body, ctype):
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
 
-    httpd = http.server.ThreadingHTTPServer(("0.0.0.0", port), H)
-    print(f"viewer at http://localhost:{port} (watching {path})",
+        def do_GET(self):
+            if self.path.startswith("/frame.png"):
+                with state.lock:
+                    self._send(state.png, "image/png")
+            elif self.path.startswith("/status"):
+                with state.lock:
+                    self._send(json.dumps({
+                        "seq": state.seq, "ms": state.ms,
+                        "mode": state.mode, "size": state.size,
+                        "cam": state.cam, "error": state.error,
+                        "script": os.path.basename(state.path),
+                    }).encode(), "application/json")
+            elif self.path.startswith("/script"):
+                with state.lock:
+                    self._send(state.src.encode(), "text/plain")
+            else:
+                self._send(_PAGE, "text/html")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except ValueError:
+                req = {}
+            with state.lock:
+                if "script" in req:
+                    state.src = str(req["script"])
+                    if req.get("save"):
+                        with open(state.path, "w") as f:
+                            f.write(state.src)
+                if "mode" in req:
+                    state.mode = str(req["mode"])
+                if "size" in req:
+                    state.size = int(req["size"])
+                if "orbit" in req:
+                    dx, dy = req["orbit"]
+                    if state.mode == "2d":
+                        sc = state.cam["scale"] * 2.0 / state.size
+                        state.cam["panx"] -= dx * sc
+                        state.cam["pany"] += dy * sc
+                    else:
+                        state.cam["yaw"] += dx * 0.01
+                        state.cam["pitch"] -= dy * 0.01
+                if "pan" in req:
+                    dx, dy = req["pan"]
+                    sc = state.cam["scale"] * 2.0 / state.size
+                    state.cam["panx"] -= dx * sc
+                    state.cam["pany"] += dy * sc
+                if "zoom" in req:
+                    state.cam["scale"] = float(np.clip(
+                        state.cam["scale"] * float(req["zoom"]),
+                        1e-3, 1e3))
+            state.dirty.set()
+            self._send(b"{}", "application/json")
+    return H
+
+
+def serve(path: str, port: int, out=None):
+    state = ViewerState()
+    state.path = path
+    with open(path) as f:
+        state.src = f.read()
+    try:
+        _, settings = _eval_src(state.src, path)
+        _apply_script_settings(state, settings)
+    except Exception as e:
+        state.error = f"{type(e).__name__}: {e}"
+    threading.Thread(target=_render_worker, args=(state,),
+                     kwargs={"out": out}, daemon=True).start()
+    threading.Thread(target=_watch_worker, args=(state,),
+                     daemon=True).start()
+    state.dirty.set()
+    httpd = http.server.ThreadingHTTPServer(("0.0.0.0", port),
+                                            make_handler(state))
+    print(f"viewer at http://localhost:{port} (editing {path})",
           file=sys.stderr)
     httpd.serve_forever()
+
+
+def render_script(path: str):
+    """One-shot render of a script file (CLI --out mode and tests)."""
+    with open(path) as f:
+        src = f.read()
+    state = ViewerState()
+    state.path = path
+    _, settings = _eval_src(src, path)
+    _apply_script_settings(state, settings)
+    img, ms = render_scene(src, state.cam, state.mode, state.size)
+    return img, {"mode": state.mode, "size": state.size}, ms
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mpr_tpu.viewer")
     ap.add_argument("script")
     ap.add_argument("--serve", type=int, default=0, metavar="PORT")
-    ap.add_argument("--watch", action="store_true")
-    ap.add_argument("--out", default=None, help="also write PNG here")
+    ap.add_argument("--out", default=None, help="write a PNG and exit "
+                    "(or, with --serve, also mirror frames here)")
     args = ap.parse_args(argv)
     if args.serve:
         serve(args.script, args.serve, out=args.out)
     else:
-        state = ViewerState()
-        _watch_loop(args.script, state, once=not args.watch, out=args.out)
+        img, st, ms = render_script(args.script)
+        out = args.out or "viewer_out.png"
+        with open(out, "wb") as f:
+            f.write(_png_bytes(img))
+        print(f"rendered {st['mode']} {st['size']}px in {ms:.1f} ms "
+              f"-> {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
