@@ -67,7 +67,8 @@ def _get_barrier():
     into the unrolled evaluation chains (measured 6x voxel-stage
     regressions without it); XLA:CPU neither needs it nor tolerates it
     (compile time/memory explode), so it is a no-op there."""
-    if jax.default_backend() == "cpu":
+    from ..ops.kernels import _on_cpu
+    if _on_cpu():
         return lambda x: x
     return jax.lax.optimization_barrier
 
@@ -537,14 +538,21 @@ class UnrolledRenderer:
                 min(n2, max(16, n2 // 2)))
 
     def _skip4(self, size: int) -> bool:
-        """Skip the 4^3 interval stage when observation says it loses:
-        with the stage, each ambiguous 16^3 cell costs 64 interval lanes
-        (~3.3x a float lane) plus its amb2 share of 64-voxel float
-        cells; without it, 4096 float lanes.  Break-even near
-        amb2 > ~56 * amb1 — amb2 <= 64 * amb1 by construction, so this
-        only triggers for interval-pathological shapes."""
+        """Skip the 4^3 interval stage when observation says it loses.
+
+        The (cells, 64)-shaped voxel stage pays ~0.9 ns/lane of coordinate/
+        patch/layout overhead on top of the ~0.19 ns/lane-per-501-clause
+        tape cost, so short-tape models with fat ambiguous shells do
+        better evaluating whole 16^3 cells (4096 dense lanes).  Fitting
+        the measured 1024^2 break-evens (bear 501 clauses, amb2/amb1=28.8:
+        skip wins 29 vs 77 ms; gears 1670 @22.3: stage wins 78 vs 105;
+        architecture 1271 @9.2: stage wins) gives the rule
+        amb2/amb1 > 10 + clauses/60."""
         obs = self._obs.get(("3d", size))
-        return obs is not None and obs[2] > 56 * max(obs[1], 1)
+        if obs is None:
+            return False
+        thr = 10.0 + self.tape.length / 60.0
+        return obs[2] > thr * max(obs[1], 1)
 
     def render3d(self, mat=None, size: int = 256, with_normals: bool = True):
         mat = camera.identity3() if mat is None else np.asarray(

@@ -236,7 +236,7 @@ def test_render3d_skip4_exact(spheres_tape):
     """The adaptive no-4^3-stage variant (picked for interval-hostile
     models) must also be bit-exact vs brute."""
     r = unrolled.UnrolledRenderer(spheres_tape)
-    r._obs[("3d", 128)] = (8, 30, 1920, 4)   # amb2 > 56*amb1 -> skip4
+    r._obs[("3d", 128)] = (8, 30, 1920, 4)   # far above the skip threshold
     assert r._skip4(128)
     d_u, _ = r.render3d(size=128, with_normals=False)
     assert (d_u == brute.render3d_brute(spheres_tape, size=128)).all()
