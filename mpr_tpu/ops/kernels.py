@@ -36,6 +36,7 @@ Tape word layout: int32 = op | out<<8 | lhs<<16 | rhs<<24 (byte-parity with
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -64,6 +65,14 @@ SLOT_CAP = 192
 
 
 def _on_cpu() -> bool:
+    # Consult the env before jax.default_backend(): the latter initializes
+    # every registered PJRT plugin, and on this machine the axon TPU plugin
+    # blocks indefinitely when its tunnel is down — which would hang even
+    # forced-CPU test runs.
+    forced = os.environ.get("JAX_PLATFORM_NAME") or os.environ.get(
+        "JAX_PLATFORMS", "")
+    if forced:
+        return forced.split(",")[0] == "cpu"
     return jax.default_backend() == "cpu"
 
 

@@ -61,6 +61,19 @@ def test_pipeline_with_camera():
     assert np.array_equal(img, want)
 
 
+@pytest.mark.slow
+def test_prospero_1024_exact(models_dir):
+    """Oracle exactness at the headline benchmark size.  1024^2 has
+    n_side=16, so this is the only test taking the ``cap = capacity//8``
+    tape-cap branch (pipeline2d.py) — the configuration every benchmark
+    table row >=1024 runs (VERDICT round-1 weak #2)."""
+    t = frep.load(str(models_dir / "prospero.frep"))[0].tree
+    tape = compile_tree(t)
+    img = pipeline2d.render2d(tape, size=1024)
+    want = oracle_image(tape, 1024)
+    assert np.array_equal(img, want), f"{(img != want).sum()} pixels differ"
+
+
 def test_pipeline_fully_filled_and_empty():
     # entire view inside the shape -> all filled, no ambiguous tiles
     tape = compile_tree(shapes.circle(9.0))
