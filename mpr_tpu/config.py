@@ -38,6 +38,14 @@ class Config:
     # unrolled engine; the Pallas interpreter engine always keeps the
     # quirk (its shortening-parity tests pin the reference semantics).
     tight_sincos: bool = False
+    # -- unrolled-engine transcendentals --------------------------------------
+    # True routes asin/acos/atan in the unrolled evaluators through the
+    # Cephes polynomial forms (ops/transcendental.py, ~2 ulp f32) that the
+    # Pallas interpreter kernels already use, instead of XLA's builtin
+    # lowering.  gears' voxel stage is transcendental-bound (3.85 vs ~1.2
+    # ns/clause, docs/perf_notes.md); flip the default once measured on a
+    # real chip.
+    fast_transcendentals: bool = False
 
 
 _active = Config()

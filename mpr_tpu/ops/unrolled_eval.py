@@ -45,6 +45,27 @@ from ..tape.opcodes import Op
 from ..tape.tape import Tape
 
 
+class _FastXP:
+    """jnp façade whose asin/acos/atan are the Cephes polynomial forms
+    (ops/transcendental.py) — the same implementations the Pallas
+    interpreter kernels use.  Selected by ``config.fast_transcendentals``
+    for the transcendental-bound models (gears: 3.85 vs ~1.2 ns/clause
+    with XLA's builtin lowering, docs/perf_notes.md)."""
+
+    def __getattr__(self, k):
+        return getattr(jnp, k)
+
+
+def _trig_fns():
+    from .. import config as _config
+    if _config.get().fast_transcendentals:
+        from . import transcendental as tc
+        xp = _FastXP()
+        xp.arcsin, xp.arccos, xp.arctan = tc.asin, tc.acos, tc.atan
+        return tc.asin, tc.acos, tc.atan, xp
+    return jnp.arcsin, jnp.arccos, jnp.arctan, jnp
+
+
 def _walk(tape: Tape, sem, x, y, z, imms):
     """Shared clause walk: ``sem`` maps opcodes to value-domain callables.
 
@@ -90,9 +111,10 @@ class _FloatSem:
         T[int(Op.NEG_LHS)] = lambda a, b, i: -a
         T[int(Op.SIN_LHS)] = lambda a, b, i: jnp.sin(a)
         T[int(Op.COS_LHS)] = lambda a, b, i: jnp.cos(a)
-        T[int(Op.ASIN_LHS)] = lambda a, b, i: jnp.arcsin(a)
-        T[int(Op.ACOS_LHS)] = lambda a, b, i: jnp.arccos(a)
-        T[int(Op.ATAN_LHS)] = lambda a, b, i: jnp.arctan(a)
+        asin_f, acos_f, atan_f, _ = _trig_fns()
+        T[int(Op.ASIN_LHS)] = lambda a, b, i: asin_f(a)
+        T[int(Op.ACOS_LHS)] = lambda a, b, i: acos_f(a)
+        T[int(Op.ATAN_LHS)] = lambda a, b, i: atan_f(a)
         T[int(Op.EXP_LHS)] = lambda a, b, i: jnp.exp(a)
         T[int(Op.ABS_LHS)] = lambda a, b, i: jnp.abs(a)
         T[int(Op.LOG_LHS)] = lambda a, b, i: jnp.log(a)
@@ -193,11 +215,13 @@ class _IntervalSem:
                 return im.i_cos_tight(jnp, a[0], a[1])
             return (jnp.full_like(a[0], -1.0), jnp.full_like(a[1], 1.0))
 
+        _, _, atan_f, xp = _trig_fns()
+
         def asin_(a, b, i):
-            return im.i_asin(jnp, a[0], a[1])
+            return im.i_asin(xp, a[0], a[1])
 
         def acos_(a, b, i):
-            return im.i_acos(jnp, a[0], a[1])
+            return im.i_acos(xp, a[0], a[1])
 
         def hypot_(a, b, i):
             sa, sb_ = square(a, None, None), square(b, None, None)
@@ -219,8 +243,8 @@ class _IntervalSem:
         T[int(Op.COS_LHS)] = cos_
         T[int(Op.ASIN_LHS)] = asin_
         T[int(Op.ACOS_LHS)] = acos_
-        T[int(Op.ATAN_LHS)] = lambda a, b, i: (jnp.arctan(a[0]),
-                                               jnp.arctan(a[1]))
+        T[int(Op.ATAN_LHS)] = lambda a, b, i: (atan_f(a[0]),
+                                               atan_f(a[1]))
         T[int(Op.EXP_LHS)] = lambda a, b, i: (jnp.exp(a[0]), jnp.exp(a[1]))
         T[int(Op.ABS_LHS)] = abs_
         T[int(Op.LOG_LHS)] = log_
@@ -284,15 +308,16 @@ class _DerivSem:
         T = {}
         T[int(Op.SQUARE_LHS)] = lambda a, b, i: (
             a[0] * a[0], 2 * a[0] * a[1], 2 * a[0] * a[2], 2 * a[0] * a[3])
+        asin_f, acos_f, atan_f, _ = _trig_fns()
         T[int(Op.SQRT_LHS)] = lift(jnp.sqrt, lambda v: 0.5 / jnp.sqrt(v))
         T[int(Op.NEG_LHS)] = lambda a, b, i: (-a[0], -a[1], -a[2], -a[3])
         T[int(Op.SIN_LHS)] = lift(jnp.sin, jnp.cos)
         T[int(Op.COS_LHS)] = lift(jnp.cos, lambda v: -jnp.sin(v))
-        T[int(Op.ASIN_LHS)] = lift(jnp.arcsin,
+        T[int(Op.ASIN_LHS)] = lift(asin_f,
                                    lambda v: 1.0 / jnp.sqrt(1.0 - v * v))
-        T[int(Op.ACOS_LHS)] = lift(jnp.arccos,
+        T[int(Op.ACOS_LHS)] = lift(acos_f,
                                    lambda v: -1.0 / jnp.sqrt(1.0 - v * v))
-        T[int(Op.ATAN_LHS)] = lift(jnp.arctan, lambda v: 1.0 / (1.0 + v * v))
+        T[int(Op.ATAN_LHS)] = lift(atan_f, lambda v: 1.0 / (1.0 + v * v))
         T[int(Op.EXP_LHS)] = lift(jnp.exp, jnp.exp)
         def abs_(a, b, i):
             # reference convention: d|x| = (x < 0 ? -1 : 1) * dx, never 0

@@ -8,9 +8,11 @@ suite runs anywhere, including the multi-chip sharding tests
 
 import os
 
-# The axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the driver shell exports JAX_PLATFORMS=axon,
+# and any axon initialization blocks forever when the TPU tunnel is down —
+# unit tests must never depend on tunnel health.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 # NOTE: --xla_force_host_platform_device_count=8 is NOT set globally: it
 # slows every XLA CPU compile ~70x.  Sharding tests (test_parallel.py) spawn
 # subprocesses with that flag instead.

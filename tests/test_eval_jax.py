@@ -114,3 +114,40 @@ def test_png_roundtrip(tmp_path):
     png.write_png(p, img)
     back = png.read_png_gray(p)
     assert np.array_equal(back, img)
+
+
+def test_fast_transcendentals_unrolled():
+    """config.fast_transcendentals routes the unrolled evaluators through
+    the Cephes polynomial asin/acos/atan (ops/transcendental.py, the forms
+    the Pallas kernels already use).  Values must stay within a few f32
+    ulp of NumPy and derivatives must stay analytic."""
+    from mpr_tpu import config
+    from mpr_tpu.frontend import tree as T
+    from mpr_tpu.ops import unrolled_eval as ue
+
+    shape = (T.atan(T.x() * 3.0) + T.acos(T.y() * 0.9)
+             + T.asin(T.y() * 0.7) - 1.2)
+    tape = compile_tree(shape)
+    rng_ = np.random.default_rng(7)
+    xs = rng_.uniform(-1, 1, 2048).astype(np.float32)
+    ys = rng_.uniform(-1, 1, 2048).astype(np.float32)
+    want = (np.arctan(xs * 3.0) + np.arccos(ys * 0.9)
+            + np.arcsin(ys * 0.7) - 1.2)
+    with config.override(fast_transcendentals=True):
+        f = ue.build_float(tape)
+        fd = ue.build_deriv(tape)
+        fi = ue.build_interval(tape)
+        got = np.asarray(f(xs, ys))
+        v, dx, dy, _ = (np.asarray(a) for a in
+                        fd(xs, ys, np.zeros_like(xs)))
+        # interval soundness on random sub-boxes
+        lo_, hi_ = (np.asarray(a) for a in fi(
+            xs - 0.01, xs + 0.01, ys - 0.01, ys + 0.01,
+            np.zeros_like(xs), np.zeros_like(xs)))
+    assert np.abs(got - want).max() < 1e-5
+    assert np.abs(v - want).max() < 1e-5
+    want_dx = 3.0 / (1.0 + (3.0 * xs) ** 2)
+    assert np.abs(dx - want_dx).max() < 1e-5
+    ok = ~np.isnan(lo_)
+    assert (lo_[ok] <= got[ok] + 1e-5).all() and (
+        got[ok] <= hi_[ok] + 1e-5).all()
