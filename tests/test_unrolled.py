@@ -287,3 +287,27 @@ def test_pixel_gradients_match_scan(name):
     assert m.sum() > 100
     np.testing.assert_allclose(gu[m], gs[m], rtol=5e-4,
                                atol=np.abs(gs[m]).max() * 1e-5)
+
+
+def test_snug_cap_tier(spheres_tape):
+    """Steady-state cap policy: after the same counts are observed on
+    consecutive frames, caps drop from the 1.25-geometric buckets to
+    snug (count*1.03 + align-256) — and a drifting count resets to the
+    bucketed tier.  Renders must stay exact either way."""
+    r = unrolled.UnrolledRenderer(spheres_tape)
+    r._obs.clear(); r._hits.clear()
+    want = brute.render2d_brute(spheres_tape, size=128)
+    img1 = r.render2d(size=128)                 # heuristic caps
+    img2 = r.render2d(size=128)                 # bucketed (hits=1)
+    assert not r._snug(("2d", 128))
+    img3 = r.render2d(size=128)                 # hits=2 -> snug next
+    assert r._snug(("2d", 128))
+    caps_snug = r._caps2d(128)
+    img4 = r.render2d(size=128)                 # rendered at snug caps
+    for img in (img1, img2, img3, img4):
+        assert (img == want).all()
+    a64, a8 = r._obs[("2d", 128)]
+    assert caps_snug[0] <= max(64, -(-(int(a64 * 1.03) + 17) // 256) * 256)
+    # a drifted count resets the stability streak
+    r._record(("2d", 128), (a64 + max(64, a64), a8))
+    assert not r._snug(("2d", 128))
