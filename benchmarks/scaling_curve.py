@@ -71,6 +71,11 @@ def virtual_curve(size: int = 512, counts=(1, 2, 4, 8)):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["JAX_PLATFORM_NAME"] = "cpu"
+        # drop the axon TPU plugin: jax plugin discovery imports it even
+        # for cpu-only children and blocks when the tunnel is down
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and ".axon_site" not in p)
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             f" --xla_force_host_platform_device_count={n}")
         r = subprocess.run(

@@ -276,10 +276,12 @@ int mpr_compile(const int32_t* fams, const int32_t* lhs, const int32_t* rhs,
     }
 
     // free operand slots at last use BEFORE allocating the output
-    // (in-place reuse, /root/reference/src/tape.cpp:199-210)
+    // (in-place reuse, /root/reference/src/tape.cpp:199-210).  RHS first
+    // so the LIFO pop gives the output the LHS slot -> in-place COPY_LHS
+    // elision during shortening (must match tape.py exactly).
     int32_t freed[2] = {-1, -1};
     int nf = 0;
-    for (int32_t h : {c.lhs, c.rhs}) {
+    for (int32_t h : {c.rhs, c.lhs}) {
       if (h >= 0 && full[h].fam != F_CONST && last_used[h] == fi) {
         bool dup = false;
         for (int k = 0; k < nf; ++k) if (freed[k] == h) dup = true;

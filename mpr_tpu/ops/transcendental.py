@@ -31,7 +31,7 @@ def atan(x):
     p = ((8.05374449538e-2 * z2 - 1.38776856032e-1) * z2
          + 1.99777106478e-1) * z2 - 3.33329491539e-1
     r = y + z + z * z2 * p
-    return jnp.where(x < 0.0, -r, r) if False else jnp.sign(x) * r
+    return jnp.sign(x) * r
 
 
 def asin(x):

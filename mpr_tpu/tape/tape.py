@@ -362,8 +362,14 @@ def _emit(tree, ordered, ordered_fast, last_used, axes_used) -> Tape:
 
         # Free operand slots at their last use BEFORE allocating the output,
         # enabling in-place reuse (/root/reference/src/tape.cpp:199-210).
+        # RHS is freed first so the LIFO pop hands the output the LHS
+        # operand's slot: tape shortening rewrites one-sided min/max to
+        # COPY_LHS far more often than COPY_RHS (accumulator chains keep
+        # their running value), and an in-place COPY_LHS is elided
+        # entirely by both shorten passes (oracle.shorten,
+        # ops/kernels.py backward `elide`).
         freed = set()
-        for h in (c.lhs, c.rhs):
+        for h in (c.rhs, c.lhs):
             if (h is not None and h.op != CONSTANT
                     and last_used.get(h.id) == c.id and h.id not in freed):
                 s = bound_slots.pop(h.id, None)

@@ -7,12 +7,31 @@ suite runs anywhere, including the multi-chip sharding tests
 """
 
 import os
+import sys
 
 # FORCE cpu (not setdefault): the driver shell exports JAX_PLATFORMS=axon,
 # and any axon initialization blocks forever when the TPU tunnel is down —
 # unit tests must never depend on tunnel health.
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"
+# JAX_PLATFORMS=cpu is not enough: the axon plugin sits on PYTHONPATH and
+# jax's plugin discovery imports it during backend init, where it blocks
+# on the (possibly dead) TPU tunnel even though only the CPU backend was
+# requested (measured 2026-08-17).  Tests are CPU-only — drop it from
+# both this process's path and the PYTHONPATH inherited by the
+# test_parallel.py subprocesses.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and ".axon_site" not in p)
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+# The axon sitecustomize imports jax at INTERPRETER STARTUP (before this
+# file runs), so jax's ``jax_platforms`` config already latched the
+# driver's JAX_PLATFORMS=axon — the env writes above are too late for
+# this process.  Point the already-imported jax at cpu before any
+# backend initializes (registration is lazy; nothing has connected yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 # NOTE: --xla_force_host_platform_device_count=8 is NOT set globally: it
 # slows every XLA CPU compile ~70x.  Sharding tests (test_parallel.py) spawn
 # subprocesses with that flag instead.

@@ -138,3 +138,50 @@ def test_interval_log_quirk():
     We reproduce this bit-for-bit; this test documents the quirk."""
     lo, hi = oracle.i_log(np.float32([-1.0]), np.float32([0.5]))
     assert lo[0] == 0.0 and hi[0] < 0.0  # inverted, as shipped upstream
+
+
+def test_choice_capacity_beyond_reference(rng):
+    """Choice recording stays exact past the reference's 4096-choice cap.
+
+    The reference records at most 4096 min/max choices per tile (256
+    uint32 words x 16 2-bit codes); beyond that, choices silently clamp
+    to 0 = keep-both (/root/reference/src/context.cu:218-263), which is
+    sound but stops shortening.  Here every choice plane is sized from
+    ``tape.num_choices`` (oracle.eval_i, ops/eval_scan.eval_i, the
+    kernel-A plane in ops/kernels.py), so no cap exists to overflow.
+    This proves it on a union whose choice count exceeds the reference
+    cap: shortening with the full choice vector remains exact, and the
+    shortened tape actually collapses to the few locally-live circles.
+    """
+    n_circ = 4300
+    centers = rng.uniform(-1, 1, (n_circ, 2)).astype(np.float32)
+    t = shapes.union(*[shapes.circle(0.03, float(cx), float(cy))
+                       for cx, cy in centers])
+    tape = compile_tree(t)
+    assert tape.num_choices >= n_circ - 1 > 4096
+
+    # a small tile: interval eval records > 4096 choices, all usable
+    bx = np.float32([0.1]), np.float32([0.2])
+    by = np.float32([-0.2]), np.float32([-0.1])
+    zero = np.float32([0.0])
+    ilo, ihi, choices = oracle.eval_i(tape, bx[0], bx[1], by[0], by[1],
+                                      zero, zero)
+    assert choices.shape[0] == tape.num_choices
+    short = oracle.shorten(tape, choices[:, 0])
+    # with exact choices the union collapses to the locally-live handful
+    # (the slot allocator's LHS-slot preference makes the accumulator
+    # chain's COPY_LHS rewrites in-place, hence elided)
+    assert short.length < tape.length / 20
+    # ... and materially below what the reference's clamp would allow
+    # (simulate it: every choice past 4096 degraded to 0 = keep-both)
+    clamped = choices[:, 0].copy()
+    clamped[4096:] = 0
+    short_clamped = oracle.shorten(tape, clamped)
+    assert short.length < short_clamped.length / 2
+    u = rng.uniform(0, 1, (2, 64)).astype(np.float32)
+    px = bx[0] + u[0] * (bx[1] - bx[0])
+    py = by[0] + u[1] * (by[1] - by[0])
+    pz = np.zeros(64, np.float32)
+    np.testing.assert_allclose(oracle.eval_f(short, px, py, pz),
+                               oracle.eval_f(tape, px, py, pz),
+                               rtol=1e-5, atol=1e-6)
