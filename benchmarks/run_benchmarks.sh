@@ -15,7 +15,10 @@ mkdir -p "$OUT"
   echo "git:    $(git rev-parse HEAD 2>/dev/null || echo '?')"
   echo "dirty:"
   git diff --stat 2>/dev/null
-  python -c "import jax; print('jax:', jax.__version__, jax.default_backend())"
+  # bounded: default_backend() initializes the TPU plugin, which blocks
+  # indefinitely if the device tunnel is down
+  timeout 120 python -c "import jax; print('jax:', jax.__version__, jax.default_backend())" \
+    || echo "jax: backend probe timed out (device tunnel down?)"
 } | tee "$OUT/provenance.txt"
 
 run() { echo "== $*" | tee -a "$OUT/log.txt"; "$@" 2>>"$OUT/stderr.txt" | tee -a "$OUT/log.txt"; }

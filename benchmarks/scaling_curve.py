@@ -132,8 +132,17 @@ def real_chip_overhead(size: int = 1024):
 
 def main():
     out = {"virtual_curve": virtual_curve()}
-    import jax
-    if jax.default_backend() == "tpu":
+    # env-first backend check (kernels._on_cpu rationale): calling
+    # jax.default_backend() initializes every PJRT plugin, and the axon
+    # TPU plugin blocks indefinitely when its tunnel is down — a forced
+    # cpu run must not hang after computing the whole virtual curve
+    forced = os.environ.get("JAX_PLATFORM_NAME") or os.environ.get(
+        "JAX_PLATFORMS", "")
+    on_tpu = False
+    if not forced or forced.split(",")[0] != "cpu":
+        import jax
+        on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         out["real_chip_1dev_overhead"] = real_chip_overhead()
     out["ici_model"] = {
         "comment": "2D tiles have no cross-tile dependence; per-frame "

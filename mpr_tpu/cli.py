@@ -131,8 +131,12 @@ def cmd_table2d(args):
         r = unrolled.get_renderer(tape)
 
         def frame_of_size(size):
-            r.render2d(size=size)      # compile + converge caps
-            r.render2d(size=size)
+            # compile + converge caps to the snug steady-state tier
+            # (3 same-count frames from a cold obs cache, 2 warm)
+            for _ in range(4):
+                r.render2d(size=size)
+                if r._snug(("2d", size)):
+                    break
             caps = r._caps2d(size)
 
             def frame(mat):
@@ -170,8 +174,11 @@ def cmd_table3d(args):
         mat_np = camera.bench3d_view()
 
         def frame_of_size(size):
-            r.render3d(mat=mat_np, size=size)
-            r.render3d(mat=mat_np, size=size)
+            # converge to the snug steady-state tier (see table2d)
+            for _ in range(4):
+                r.render3d(mat=mat_np, size=size)
+                if r._snug(("3d", size)):
+                    break
             caps = r._caps3d(size, True)
             skip4 = r._skip4(size)
             if skip4:

@@ -456,10 +456,20 @@ def _bucket(x: int, floor: int, ceil_: int) -> int:
 
 
 def tape_key(tape: Tape) -> str:
+    """Cache key for a renderer: the tape contents PLUS the semantic
+    config flags the unrolled evaluators latch at build time
+    (tight_sincos / fast_transcendentals).  Including them here means
+    ``config.override(tight_sincos=True)`` builds a distinct renderer
+    (and a distinct obs file — the flags change ambiguity counts)
+    instead of silently reusing an executable traced under the other
+    semantics."""
+    from .. import config as _config
+    cfg = _config.get()
     h = hashlib.sha1()
     for a in (tape.ops, tape.outs, tape.lhss, tape.rhss, tape.imms):
         h.update(np.ascontiguousarray(a).tobytes())
     h.update(bytes(tape.axis_slots) + bytes([tape.result_slot]))
+    h.update(bytes([cfg.tight_sincos, cfg.fast_transcendentals]))
     return h.hexdigest()
 
 
@@ -486,6 +496,7 @@ class UnrolledRenderer:
                              "with_normals", "skip4"))
         self._obs: Dict = compcache.load_obs(self._key)
         self._hits: Dict = {}
+        self._skip4_age: Dict = {}
 
     def _record(self, key, counts) -> None:
         from ..utils import compcache
@@ -498,7 +509,11 @@ class UnrolledRenderer:
             hits = phits + 1 if same else 0
         self._hits[key] = hits
         self._obs[key] = counts
-        compcache.save_obs(self._key, self._obs)
+        # persist only when the observation actually changed: in steady
+        # state (the sub-ms frame loop) counts repeat exactly and a
+        # per-frame json rewrite would dominate the host path
+        if counts != prev:
+            compcache.save_obs(self._key, self._obs)
 
     def _snug(self, key) -> bool:
         """Steady state: the same ambiguous counts (±3%) seen on
@@ -589,7 +604,20 @@ class UnrolledRenderer:
         p0, c1, c2, pn = self._caps3d(size, with_normals)
         skip4 = self._skip4(size)
         if skip4:
-            c2 = 256
+            # while skipping, the 4^3 stage never runs, so its observed
+            # count freezes — without a periodic re-measure the skip
+            # decision could latch forever on a stale count after the
+            # view changes.  Re-run the full ladder every 64th frame to
+            # refresh it (~1.5% amortized cost when the skip is right).
+            age = self._skip4_age.get(size, 0)
+            if age >= 64:
+                skip4 = False
+                self._skip4_age[size] = 0
+            else:
+                self._skip4_age[size] = age + 1
+                c2 = 256
+        else:
+            self._skip4_age[size] = 0
         n = size // 64
         while True:
             depth, normals, cnt = self._r3(jnp.asarray(mat), size, p0, c1,

@@ -289,22 +289,28 @@ def make_handler(state: ViewerState):
             self.wfile.write(body)
 
         def do_GET(self):
+            # snapshot under the lock, write to the socket AFTER
+            # releasing it: a slow client draining wfile must not block
+            # the render worker or other handler threads
             if self.path.startswith("/frame.png"):
                 with state.lock:
-                    self._send(state.png, "image/png")
+                    body, ctype = state.png, "image/png"
             elif self.path.startswith("/status"):
                 with state.lock:
-                    self._send(json.dumps({
+                    body = json.dumps({
                         "seq": state.seq, "ms": state.ms,
                         "mode": state.mode, "size": state.size,
-                        "cam": state.cam, "error": state.error,
+                        "cam": dict(state.cam), "error": state.error,
                         "script": os.path.basename(state.path),
-                    }).encode(), "application/json")
+                    }).encode()
+                ctype = "application/json"
             elif self.path.startswith("/script"):
                 with state.lock:
-                    self._send(state.src.encode(), "text/plain")
+                    body = state.src.encode()
+                ctype = "text/plain"
             else:
-                self._send(_PAGE, "text/html")
+                body, ctype = _PAGE, "text/html"
+            self._send(body, ctype)
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
@@ -345,7 +351,7 @@ def make_handler(state: ViewerState):
     return H
 
 
-def serve(path: str, port: int, out=None):
+def serve(path: str, port: int, out=None, host: str = "127.0.0.1"):
     state = ViewerState()
     state.path = path
     with open(path) as f:
@@ -360,9 +366,11 @@ def serve(path: str, port: int, out=None):
     threading.Thread(target=_watch_worker, args=(state,),
                      daemon=True).start()
     state.dirty.set()
-    httpd = http.server.ThreadingHTTPServer(("0.0.0.0", port),
+    # loopback by default: POST /update executes the posted script with
+    # full process privileges, so exposing the port is opt-in (--host)
+    httpd = http.server.ThreadingHTTPServer((host, port),
                                             make_handler(state))
-    print(f"viewer at http://localhost:{port} (editing {path})",
+    print(f"viewer at http://{host}:{port} (editing {path})",
           file=sys.stderr)
     httpd.serve_forever()
 
@@ -383,11 +391,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="mpr_tpu.viewer")
     ap.add_argument("script")
     ap.add_argument("--serve", type=int, default=0, metavar="PORT")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default loopback; the editor "
+                    "endpoint executes posted scripts — only expose it "
+                    "on networks you trust)")
     ap.add_argument("--out", default=None, help="write a PNG and exit "
                     "(or, with --serve, also mirror frames here)")
     args = ap.parse_args(argv)
     if args.serve:
-        serve(args.script, args.serve, out=args.out)
+        serve(args.script, args.serve, out=args.out, host=args.host)
     else:
         img, st, ms = render_script(args.script)
         out = args.out or "viewer_out.png"

@@ -311,3 +311,33 @@ def test_snug_cap_tier(spheres_tape):
     # a drifted count resets the stability streak
     r._record(("2d", 128), (a64 + max(64, a64), a8))
     assert not r._snug(("2d", 128))
+
+
+def test_renderer_cache_keyed_by_config(spheres_tape):
+    """config.override of a semantic flag must not reuse a renderer
+    traced under the other semantics: the unrolled evaluators latch
+    tight_sincos/fast_transcendentals at build time, so tape_key folds
+    them in and get_renderer returns a per-config instance."""
+    r_default = unrolled.get_renderer(spheres_tape)
+    with config.override(tight_sincos=True):
+        r_tight = unrolled.get_renderer(spheres_tape)
+        assert r_tight is not r_default
+        assert unrolled.get_renderer(spheres_tape) is r_tight
+    assert unrolled.get_renderer(spheres_tape) is r_default
+
+
+def test_obs_persisted_only_on_change(spheres_tape, monkeypatch):
+    """Steady-state frames must not rewrite the obs json every call —
+    the host loop of a sub-ms frame cannot afford a disk write."""
+    from mpr_tpu.utils import compcache
+    calls = []
+    monkeypatch.setattr(compcache, "save_obs",
+                        lambda key, obs: calls.append(len(obs)))
+    r = unrolled.UnrolledRenderer(spheres_tape)
+    r._obs.clear(); r._hits.clear()
+    r.render2d(size=128)
+    n_after_first = len(calls)
+    assert n_after_first >= 1          # first observation is persisted
+    r.render2d(size=128)
+    r.render2d(size=128)               # identical counts: no new writes
+    assert len(calls) == n_after_first
