@@ -106,6 +106,28 @@ def render2d_sharded(tape: Tape, mat=None, z: float = 0.0, size: int = 256,
     return np.asarray(img)
 
 
+def render2d_sharded_unrolled(tape: Tape, mat=None, z: float = 0.0,
+                              size: int = 256,
+                              mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Sharded render with the production (unrolled per-shape XLA)
+    engine: each mesh device runs the full unrolled ladder on its slab
+    of 64px tile rows (render/unrolled.py::_render2d_sharded_impl)."""
+    from ..render import unrolled
+    return unrolled.get_renderer(tape).render2d_sharded(
+        mat, z, size, make_mesh() if mesh is None else mesh)
+
+
+def render3d_sharded_unrolled(tape: Tape, mat=None, size: int = 256,
+                              mesh: Optional[Mesh] = None,
+                              with_normals: bool = True):
+    """Sharded 3D render with the unrolled engine: a slab of 64px tile
+    rows per device; z columns stay device-local so occlusion culling is
+    exact without collectives (render/unrolled.py::_render3d_sharded_impl)."""
+    from ..render import unrolled
+    return unrolled.get_renderer(tape).render3d_sharded(
+        mat, size, make_mesh() if mesh is None else mesh, with_normals)
+
+
 # ---------------------------------------------------------------------------
 # Sharded 3D forward render
 # ---------------------------------------------------------------------------

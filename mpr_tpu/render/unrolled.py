@@ -144,18 +144,30 @@ def _mat3_interval(mat, xl, xh, yl, yh):
 # 2D pipeline: 64px -> 8px -> pixel
 # ---------------------------------------------------------------------------
 
-def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
+def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
+                   r0=None, rows64: Optional[int] = None):
     """2D ladder.  Index discipline (measured XLA TPU pathologies,
     docs/perf_notes.md round-2): never build per-lane chained gathers
     (``arr[ids[L // 64]]`` costs ~15 ns/lane); gather ONCE per cell and
     expand to lanes by broadcasting.  Never scatter per-pixel (~7 ns per
-    scatter index); scatter 64-wide block rows."""
+    scatter index); scatter 64-wide block rows.
+
+    ``(r0, rows64)`` select a horizontal slab of 64px tile rows (the
+    multi-chip unit: parallel/sharded.py gives each mesh device one
+    slab; tiles have no cross-tile dependence so slabs compose exactly).
+    ``r0`` may be traced (lax.axis_index), ``rows64`` is static.  The
+    default is the whole image.  Returns ((rows64*64, size) image,
+    (2,) exact ambiguous counters for the overflow-retry)."""
     n64 = size // 64
     n8 = size // 8
+    if rows64 is None:
+        rows64 = n64
+    r0 = jnp.int32(0 if r0 is None else r0)
+    rows8 = rows64 * 8
     barrier = _get_barrier()
 
-    # ---- stage 1: 64px tiles (t = ty*n64 + tx) ---------------------------
-    t = jnp.arange(n64 * n64, dtype=jnp.int32)
+    # ---- stage 1: 64px tiles (t = ty*n64 + tx, slab-global ids) ----------
+    t = r0 * n64 + jnp.arange(rows64 * n64, dtype=jnp.int32)
     xl, xh = _axis_box(t % n64, n64)
     yl, yh = _axis_box(t // n64, n64)
     bxl, bxh, byl, byh = barrier(_mat3_interval(mat, xl, xh, yl, yh))
@@ -165,9 +177,10 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
     ids64, n64a = barrier(_compact_ids(st64 == ST_AMBIG, p64))
 
     # ---- stage 2: 8px children (c = cy*8 + cx) ---------------------------
-    # per-parent coordinates, lanes by broadcast
+    # per-parent coordinates, lanes by broadcast; ids64 are slab-local
+    # lane ids, so the y coordinate gets the slab offset back
     tx_p = ids64 % n64
-    ty_p = ids64 // n64
+    ty_p = ids64 // n64 + r0
     c = jnp.arange(64, dtype=jnp.int32)
     gx8 = (tx_p[:, None] * 8 + (c % 8)[None, :]).reshape(-1)
     gy8 = (ty_p[:, None] * 8 + (c // 8)[None, :]).reshape(-1)
@@ -195,26 +208,52 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int):
         jnp.minimum(n8a, p8) * 64)
     fillpx = ((v < 0.0) & px_ok).reshape(p8, 64)
 
-    # ---- composition: image as (n8^2, 64) 8px-block rows -------------------
+    # ---- composition: slab image as (rows8*n8, 64) 8px-block rows ----------
     # base: parent statuses upsampled; ambiguous parents' children take
     # their own statuses (the copy_filled_2d upsample analog,
-    # /root/reference/src/context.cu:664-692)
-    stblk = jnp.broadcast_to(st64[:, None], (n64 * n64, 64))
+    # /root/reference/src/context.cu:664-692).  All row indices are
+    # slab-local (ids64 already is; gy8_c needs the slab offset removed).
+    stblk = jnp.broadcast_to(st64[:, None], (rows64 * n64, 64))
     rowpar = jnp.where(jnp.arange(p64) < jnp.minimum(n64a, p64),
-                       ids64, n64 * n64)
+                       ids64, rows64 * n64)
     stblk = jnp.concatenate([stblk, jnp.zeros((1, 64), jnp.int32)])
     stblk = stblk.at[rowpar].set(st8c.reshape(p64, 64),
-                                 mode="drop")[:n64 * n64]
-    st8img = stblk.reshape(n64, n64, 8, 8).transpose(0, 2, 1, 3).reshape(-1)
+                                 mode="drop")[:rows64 * n64]
+    st8img = stblk.reshape(rows64, n64, 8, 8).transpose(
+        0, 2, 1, 3).reshape(-1)
     blocks = jnp.broadcast_to((st8img == ST_FILLED)[:, None],
-                              (n8 * n8, 64))
+                              (rows8 * n8, 64))
     rowp = jnp.where(jnp.arange(p8) < jnp.minimum(n8a, p8),
-                     gy8_c * n8 + gx8_c, n8 * n8)
+                     (gy8_c - r0 * 8) * n8 + gx8_c, rows8 * n8)
     blocks = jnp.concatenate([blocks, jnp.zeros((1, 64), blocks.dtype)])
-    blocks = blocks.at[rowp].set(fillpx, mode="drop")[:n8 * n8]
-    img = blocks.reshape(n8, n8, 8, 8).transpose(0, 2, 1, 3)
+    blocks = blocks.at[rowp].set(fillpx, mode="drop")[:rows8 * n8]
+    img = blocks.reshape(rows8, n8, 8, 8).transpose(0, 2, 1, 3)
     counters = jnp.stack([n64a, n8a])
-    return img.reshape(size, size), counters
+    return img.reshape(rows64 * 64, size), counters
+
+
+def _render2d_sharded_impl(fi, f, mat, z, size: int, p64: int, p8: int,
+                           mesh, rows: int):
+    """Multi-chip 2D ladder: each mesh device renders one slab of
+    ``rows`` 64px tile rows through the full unrolled pipeline
+    (slab-local culling; caps are per slab), and the output sharding
+    reassembles the image — one gather, the only per-frame collective
+    (SURVEY.md §2.5).  Counters come back per-device so the host's
+    overflow-retry can take the max."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    def local(mat, z):
+        r0 = (lax.axis_index("dp") * mesh.shape["sp"]
+              + lax.axis_index("sp")) * rows
+        img, cnt = _render2d_impl(fi, f, mat, z, size, p64, p8,
+                                  r0=r0, rows64=rows)
+        return img, cnt[None]
+
+    g = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                      out_specs=(P(("dp", "sp"), None),
+                                 P(("dp", "sp"), None)), check_vma=False)
+    return g(mat, z)
 
 
 # ---------------------------------------------------------------------------
@@ -228,11 +267,17 @@ def _cell_boxes_3d(mat, gx, gy, gz, ngrid: int):
     return _mat4_interval(mat, xl, xh, yl, yh, zl, zh)
 
 
+def _unblock_rect(blocks, nby: int, nbx: int, bs: int):
+    """(nby*nbx, bs*bs) row-blocked image -> (nby*bs, nbx*bs), inner
+    index iy*bs + ix (rectangular: a slab of block rows)."""
+    return blocks.reshape(nby, nbx, bs, bs).transpose(0, 2, 1, 3).reshape(
+        nby * bs, nbx * bs)
+
+
 def _unblock(blocks, nb: int, bs: int):
     """(nb*nb, bs*bs) row-blocked image -> (nb*bs, nb*bs), inner index
     iy*bs + ix."""
-    return blocks.reshape(nb, nb, bs, bs).transpose(0, 2, 1, 3).reshape(
-        nb * bs, nb * bs)
+    return _unblock_rect(blocks, nb, nb, bs)
 
 
 def _zmax4(hit_flat):
@@ -257,51 +302,67 @@ def _row_max(blocks, rows, patch, nrows: int):
 
 def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
                    pn: int, with_normals: bool, skip4: bool = False,
-                   debug_stage: str = ""):
+                   debug_stage: str = "", r0=None,
+                   rows: Optional[int] = None):
     """3D ladder 64^3 -> 16^3 -> 4^3 -> voxel (the reference's full stage
     list, /root/reference/src/context.cpp:21-26), with occlusion culling
     between every stage (mask_filled_tiles analog,
     /root/reference/src/context.cu:471-495) via granularity-matched
-    heightmap block images.  Same index discipline as _render2d_impl."""
+    heightmap block images.  Same index discipline as _render2d_impl.
+
+    ``(r0, rows)`` select a slab of screen-space 64px tile ROWS (full z
+    columns stay within a slab, so occlusion culling is exact
+    slab-locally — the multi-chip unit, SURVEY.md §2.5); ``r0`` may be
+    traced, ``rows`` is static.  Default = whole image.  Output depth /
+    normals cover (rows*64, size)."""
     n = size // 64
+    if rows is None:
+        rows = n
+    r0 = jnp.int32(0 if r0 is None else r0)
     barrier = _get_barrier()
     c4 = jnp.arange(64, dtype=jnp.int32)
     cx4, cy4, cz4 = c4 % 4, (c4 // 4) % 4, c4 // 16
 
-    # ---- stage A: 64^3 tiles, t = (tz*n + ty)*n + tx ----------------------
-    t = jnp.arange(n * n * n, dtype=jnp.int32)
-    tx, ty, tz = t % n, (t // n) % n, t // (n * n)
+    # ---- stage A: 64^3 tiles, t = (tz*rows + tyl)*n + tx ------------------
+    # (tyl = slab-local tile row; geometry uses the global ty = tyl + r0)
+    t = jnp.arange(n * rows * n, dtype=jnp.int32)
+    tx, tyl, tz = t % n, (t // n) % rows, t // (n * rows)
+    ty = tyl + r0
     lo, hi = fi(*barrier(tuple(_cell_boxes_3d(mat, tx, ty, tz, n))))
     st0 = _classify(lo, hi)
-    # heightmap (ty*n+tx,) of filled-tile top depth values ((tz+1)*64:
+    # heightmap (tyl*n+tx,) of filled-tile top depth values ((tz+1)*64:
     # depth image convention is top filled voxel index + 1)
-    h0 = jnp.max(jnp.where((st0 == ST_FILLED).reshape(n, n, n),
+    h0 = jnp.max(jnp.where((st0 == ST_FILLED).reshape(n, rows, n),
                            (jnp.arange(n, dtype=jnp.int32) + 1)[:, None,
                                                                 None] * 64,
                            0), axis=0).reshape(-1)
-    occl0 = (tz + 1) * 64 <= h0[ty * n + tx]
+    occl0 = (tz + 1) * 64 <= h0[tyl * n + tx]
     ids0, n0 = barrier(_compact_ids((st0 == ST_AMBIG) & ~occl0, p0))
     if debug_stage == "A":
         return None, None, jnp.zeros((4,), jnp.int32) + ids0[0] + n0
 
 
     # ---- stage B: 16^3 children (c = (cz*4+cy)*4 + cx) --------------------
-    txp, typ, tzp = ids0 % n, (ids0 // n) % n, ids0 // (n * n)
+    # ids0 are slab-local lane ids; geometry needs the global tile row
+    txp = ids0 % n
+    typl = (ids0 // n) % rows
+    tzp = ids0 // (n * rows)
     g16x = (txp[:, None] * 4 + cx4[None, :]).reshape(-1)
-    g16y = (typ[:, None] * 4 + cy4[None, :]).reshape(-1)
+    g16y = ((typl + r0)[:, None] * 4 + cy4[None, :]).reshape(-1)
     g16z = (tzp[:, None] * 4 + cz4[None, :]).reshape(-1)
     lo, hi = fi(*barrier(tuple(_cell_boxes_3d(mat, g16x, g16y, g16z, 4 * n))))
     okB = jnp.arange(p0 * 64) < jnp.minimum(n0, p0) * 64
     st1 = jnp.where(okB, _classify(lo, hi), ST_EMPTY)
 
-    # h16 block image: row = parent xy tile (ty*n+tx), inner = cy*4+cx
+    # h16 block image: row = parent xy tile (slab-local tyl*n+tx),
+    # inner = cy*4+cx
     top1 = (g16z + 1) * 16                                 # per lane
     patch16 = _zmax4(jnp.where(st1 == ST_FILLED, top1, 0))
     rows_p = jnp.where(jnp.arange(p0) < jnp.minimum(n0, p0),
-                       typ * n + txp, n * n)
-    h16blk = _row_max(jnp.broadcast_to(h0[:, None], (n * n, 16)),
-                      rows_p, patch16, n * n)
-    hb = h16blk[jnp.minimum(rows_p, n * n - 1)]            # (p0, 16)
+                       typl * n + txp, rows * n)
+    h16blk = _row_max(jnp.broadcast_to(h0[:, None], (rows * n, 16)),
+                      rows_p, patch16, rows * n)
+    hb = h16blk[jnp.minimum(rows_p, rows * n - 1)]         # (p0, 16)
     occl1 = (top1 <= jnp.tile(hb, (1, 4)).reshape(-1))
     ids1, n1 = barrier(_compact_ids((st1 == ST_AMBIG) & ~occl1, c1))
     if debug_stage == "B":
@@ -334,18 +395,19 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
         for k in range(1, 16):
             patchv = jnp.maximum(patchv, hit[:, 256 * k:256 * (k + 1)])
         rows_v = jnp.where(jnp.arange(c1) < jnp.minimum(n1, c1),
-                           g16y_c * (4 * n) + g16x_c, 16 * n * n)
-        h16flat = _unblock(h16blk, n, 4).reshape(-1)
+                           (g16y_c - r0 * 4) * (4 * n) + g16x_c,
+                           16 * rows * n)
+        h16flat = _unblock_rect(h16blk, rows, n, 4).reshape(-1)
         dblk = _row_max(jnp.broadcast_to(h16flat[:, None],
-                                         (16 * n * n, 256)),
-                        rows_v, patchv, 16 * n * n)
-        depth = _unblock(dblk, 4 * n, 16)
+                                         (16 * rows * n, 256)),
+                        rows_v, patchv, 16 * rows * n)
+        depth = _unblock_rect(dblk, 4 * rows, 4 * n, 16)
         counters = jnp.stack([n0, n1, jnp.int32(0), jnp.int32(0)])
         if not with_normals:
             return depth, None, counters
         return _normals_pass(fd, mat, depth, size, pn,
                              jnp.stack([n0, n1, jnp.int32(0),
-                                        jnp.int32(0)]))
+                                        jnp.int32(0)]), r0=r0, rows=rows)
 
     # ---- stage B': 4^3 children -------------------------------------------
     g4x = (g16x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
@@ -355,15 +417,18 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
     okC = jnp.arange(c1 * 64) < jnp.minimum(n1, c1) * 64
     st2 = jnp.where(okC, _classify(lo, hi), ST_EMPTY)
 
-    # h4 block image: row = 16px texel (g16y*(4n)+g16x), inner = cy*4+cx
+    # h4 block image: row = 16px texel (slab-local y16l*(4n)+g16x),
+    # inner = cy*4+cx
     top2 = (g4z + 1) * 4                                   # per lane
     patch4 = _zmax4(jnp.where(st2 == ST_FILLED, top2, 0))
     rows_c = jnp.where(jnp.arange(c1) < jnp.minimum(n1, c1),
-                       g16y_c * (4 * n) + g16x_c, 16 * n * n)
-    h16flat = _unblock(h16blk, n, 4).reshape(-1)
-    h4blk = _row_max(jnp.broadcast_to(h16flat[:, None], (16 * n * n, 16)),
-                     rows_c, patch4, 16 * n * n)
-    hb = h4blk[jnp.minimum(rows_c, 16 * n * n - 1)]        # (c1, 16)
+                       (g16y_c - r0 * 4) * (4 * n) + g16x_c,
+                       16 * rows * n)
+    h16flat = _unblock_rect(h16blk, rows, n, 4).reshape(-1)
+    h4blk = _row_max(jnp.broadcast_to(h16flat[:, None],
+                                      (16 * rows * n, 16)),
+                     rows_c, patch4, 16 * rows * n)
+    hb = h4blk[jnp.minimum(rows_c, 16 * rows * n - 1)]     # (c1, 16)
     occl2 = (top2 <= jnp.tile(hb, (1, 4)).reshape(-1))
     ids2, n2 = barrier(_compact_ids((st2 == ST_AMBIG) & ~occl2, c2))
     if debug_stage == "Bp":
@@ -390,31 +455,38 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
 
     # ---- depth composition: 4px pixel blocks -------------------------------
     n4 = 16 * n
+    rows4 = 16 * rows
     rows_v = jnp.where(jnp.arange(c2) < jnp.minimum(n2, c2),
-                       g4y_c * n4 + g4x_c, n4 * n4)
-    h4flat = _unblock(h4blk, 4 * n, 4).reshape(-1)
-    dblk = _row_max(jnp.broadcast_to(h4flat[:, None], (n4 * n4, 16)),
-                    rows_v, patchv, n4 * n4)
-    depth = _unblock(dblk, n4, 4)
+                       (g4y_c - r0 * 16) * n4 + g4x_c, rows4 * n4)
+    h4flat = _unblock_rect(h4blk, 4 * rows, 4 * n, 4).reshape(-1)
+    dblk = _row_max(jnp.broadcast_to(h4flat[:, None], (rows4 * n4, 16)),
+                    rows_v, patchv, rows4 * n4)
+    depth = _unblock_rect(dblk, rows4, n4, 4)
 
     counters = jnp.stack([n0, n1, n2, jnp.int32(0)])
     if not with_normals:
         return depth, None, counters
-    return _normals_pass(fd, mat, depth, size, pn, counters)
+    return _normals_pass(fd, mat, depth, size, pn, counters, r0=r0,
+                         rows=rows)
 
 
-def _normals_pass(fd, mat, depth, size: int, pn: int, counters):
+def _normals_pass(fd, mat, depth, size: int, pn: int, counters,
+                  r0=None, rows: Optional[int] = None):
     """Normals: forward-mode AD at one voxel in front of the surface
     (eval_pixels_d, /root/reference/src/context.cu:978-1132; z sampling
     one voxel in front per :1001-1005).  One 64px tile per compacted
-    content row."""
+    content row.  ``(r0, rows)``: the depth slab being processed (tile
+    rows; geometry uses global pixel coordinates)."""
     n = size // 64
+    if rows is None:
+        rows = n
+    r0 = jnp.int32(0 if r0 is None else r0)
     barrier = _get_barrier()
-    blocks = depth.reshape(n, TILE, n, TILE).transpose(0, 2, 1, 3)
-    blocks = blocks.reshape(n * n, TILE * TILE)
+    blocks = depth.reshape(rows, TILE, n, TILE).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(rows * n, TILE * TILE)
     content = blocks.max(axis=1) > 0
     idsN, nN = barrier(_compact_ids(content, pn))
-    tx_c, ty_c = idsN % n, idsN // n
+    tx_c, ty_c = idsN % n, idsN // n + r0      # global tile row
     d = barrier(blocks[idsN])                              # (pn, 4096)
     pp = jnp.arange(TILE * TILE, dtype=jnp.int32)
     gpx = (tx_c[:, None] * TILE + (pp % TILE)[None, :]).reshape(-1)
@@ -428,16 +500,47 @@ def _normals_pass(fd, mat, depth, size: int, pn: int, counters):
     norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     inv = jnp.where(d.reshape(-1) > 0, 1.0 / jnp.maximum(norm, 1e-12), 0.0)
     rows_n = jnp.where(jnp.arange(pn) < jnp.minimum(nN, pn),
-                       idsN, n * n)
+                       idsN, rows * n)
     planes = []
     for comp in (dx * inv, dy * inv, dz * inv):
-        blk = jnp.zeros((n * n + 1, TILE * TILE), jnp.float32)
+        blk = jnp.zeros((rows * n + 1, TILE * TILE), jnp.float32)
         blk = blk.at[rows_n].set(comp.reshape(pn, TILE * TILE),
-                                 mode="drop")[:n * n]
-        planes.append(_unblock(blk, n, TILE))
+                                 mode="drop")[:rows * n]
+        planes.append(_unblock_rect(blk, rows, n, TILE))
     nimg = jnp.stack(planes, axis=-1)
     counters = counters.at[3].set(nN)
     return depth, nimg, counters
+
+
+def _render3d_sharded_impl(fi, f, fd, mat, size: int, p0: int, c1: int,
+                           c2: int, pn: int, with_normals: bool,
+                           skip4: bool, mesh, rows: int):
+    """Multi-chip 3D ladder: one slab of 64px tile rows per mesh device
+    (full z columns per slab, so the heightmap occlusion culling is
+    exact without any cross-device exchange); depth/normal slabs are
+    reassembled by the output sharding.  Counters come back per-device
+    for the host's max-based overflow-retry."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    def local(mat):
+        r0 = (lax.axis_index("dp") * mesh.shape["sp"]
+              + lax.axis_index("sp")) * rows
+        depth, nimg, cnt = _render3d_impl(fi, f, fd, mat, size, p0, c1,
+                                          c2, pn, with_normals, skip4,
+                                          r0=r0, rows=rows)
+        if nimg is None:
+            return depth, cnt[None]
+        return depth, nimg, cnt[None]
+
+    if with_normals:
+        out_specs = (P(("dp", "sp"), None), P(("dp", "sp"), None, None),
+                     P(("dp", "sp"), None))
+    else:
+        out_specs = (P(("dp", "sp"), None), P(("dp", "sp"), None))
+    g = jax.shard_map(local, mesh=mesh, in_specs=(P(),),
+                      out_specs=out_specs, check_vma=False)
+    return g(mat)
 
 
 # ---------------------------------------------------------------------------
@@ -488,12 +591,25 @@ class UnrolledRenderer:
             lambda mat, z, size, p64, p8:
             _render2d_impl(self.fi, self.f, mat, z, size, p64, p8),
             static_argnames=("size", "p64", "p8"))
+        self._r2s = jax.jit(
+            lambda mat, z, size, p64, p8, mesh, rows:
+            _render2d_sharded_impl(self.fi, self.f, mat, z, size, p64, p8,
+                                   mesh, rows),
+            static_argnames=("size", "p64", "p8", "mesh", "rows"))
         self._r3 = jax.jit(
             lambda mat, size, p0, c1, c2, pn, with_normals, skip4:
             _render3d_impl(self.fi, self.f, self.fd, mat, size,
                            p0, c1, c2, pn, with_normals, skip4),
             static_argnames=("size", "p0", "c1", "c2", "pn",
                              "with_normals", "skip4"))
+        self._r3s = jax.jit(
+            lambda mat, size, p0, c1, c2, pn, with_normals, skip4, mesh,
+            rows:
+            _render3d_sharded_impl(self.fi, self.f, self.fd, mat, size,
+                                   p0, c1, c2, pn, with_normals, skip4,
+                                   mesh, rows),
+            static_argnames=("size", "p0", "c1", "c2", "pn",
+                             "with_normals", "skip4", "mesh", "rows"))
         self._obs: Dict = compcache.load_obs(self._key)
         self._hits: Dict = {}
         self._skip4_age: Dict = {}
@@ -559,29 +675,81 @@ class UnrolledRenderer:
             p64 = _bucket(a64, 64, n64 * n64)
             p8 = _bucket(a8, 512, n8 * n8)
 
+    def render2d_sharded(self, mat=None, z: float = 0.0, size: int = 256,
+                         mesh=None):
+        """Multi-chip unrolled 2D render: the production engine sharded
+        over a device mesh — each device owns a slab of 64px tile rows
+        (see _render2d_sharded_impl).  Same contract as render2d."""
+        from ..parallel.sharded import make_mesh
+        mesh = make_mesh() if mesh is None else mesh
+        nd = int(mesh.devices.size)
+        n64 = size // 64
+        if n64 % nd:
+            raise ValueError(f"size {size}: {n64} tile rows must divide "
+                             f"{nd} devices")
+        rows = n64 // nd
+        mat = camera.identity2() if mat is None else np.asarray(
+            mat, np.float32)
+        key = ("2ds", size * 1000 + nd)    # obs keys are (kind, int)
+        obs = self._obs.get(key)
+        if obs is not None:
+            a64, a8 = obs
+            if self._snug(key):
+                p64 = self._snug_cap(a64, 64, rows * n64)
+                p8 = self._snug_cap(a8, 512, rows * n64 * 64)
+            else:
+                p64 = _bucket(int(a64 * 1.25) + 1, 64, rows * n64)
+                p8 = _bucket(int(a8 * 1.25) + 1, 512, rows * n64 * 64)
+        else:
+            # first frame: the single-slab share of the whole-image
+            # heuristic, padded — slabs are less uniform than the image
+            p64 = min(rows * n64, max(64, rows * n64 // 2 + 4 * n64))
+            p8 = min(rows * n64 * 64, max(512, rows * n64 * 64 // 3))
+        while True:
+            img, cnts = self._r2s(jnp.asarray(mat), jnp.float32(z), size,
+                                  p64, p8, mesh, rows)
+            a = np.asarray(cnts).max(axis=0)       # worst slab governs
+            a64, a8 = int(a[0]), int(a[1])
+            self._record(key, (a64, a8))
+            if a64 <= p64 and a8 <= p8:
+                return np.asarray(img)
+            # overflow: grow to the observed max and re-render — time,
+            # never pixels (/root/reference/src/context.cu:1219-1222)
+            p64 = _bucket(a64, 64, rows * n64)
+            p8 = _bucket(a8, 512, rows * n64 * 64)
+
     # -- 3D ------------------------------------------------------------------
 
-    def _caps3d(self, size: int, with_normals: bool):
+    def _caps3d_for(self, key, size: int, rows: int):
+        """Stage caps for a slab of ``rows`` 64px tile rows under obs
+        ``key`` (the whole image is the rows = size//64 case)."""
         n = size // 64
-        n2 = n * n
-        obs = self._obs.get(("3d", size))
+        nxy = rows * n             # xy 64px tiles in the slab
+        ncol = nxy * n             # 64^3 cells in the slab
+        obs = self._obs.get(key)
         if obs is not None:
             a0, a1, a2, aN = obs
-            if self._snug(("3d", size)):
-                return (self._snug_cap(a0, 64, n2 * n),
-                        self._snug_cap(a1, 512, n2 * n * 64),
-                        self._snug_cap(a2, 2048, n2 * n * 64 * 64),
-                        self._snug_cap(aN, 16, n2))
-            return (_bucket(int(a0 * 1.25) + 1, 64, n2 * n),
-                    _bucket(int(a1 * 1.25) + 1, 512, n2 * n * 64),
-                    _bucket(int(a2 * 1.25) + 1, 2048, n2 * n * 64 * 64),
-                    _bucket(int(aN * 1.25) + 1, 16, n2))
-        return (min(n2 * n, max(64, 8 * n2)),
-                min(64 * 8 * n2, max(1024, 96 * n2)),
-                min(64 * 96 * n2, max(4096, 768 * n2)),
-                min(n2, max(16, n2 // 2)))
+            if self._snug(key):
+                return (self._snug_cap(a0, 64, ncol),
+                        self._snug_cap(a1, 512, ncol * 64),
+                        self._snug_cap(a2, 2048, ncol * 64 * 64),
+                        self._snug_cap(aN, 16, nxy))
+            return (_bucket(int(a0 * 1.25) + 1, 64, ncol),
+                    _bucket(int(a1 * 1.25) + 1, 512, ncol * 64),
+                    _bucket(int(a2 * 1.25) + 1, 2048, ncol * 64 * 64),
+                    _bucket(int(aN * 1.25) + 1, 16, nxy))
+        return (min(ncol, max(64, 8 * nxy)),
+                min(64 * 8 * nxy, max(1024, 96 * nxy)),
+                min(64 * 96 * nxy, max(4096, 768 * nxy)),
+                min(nxy, max(16, nxy // 2)))
+
+    def _caps3d(self, size: int, with_normals: bool):
+        return self._caps3d_for(("3d", size), size, size // 64)
 
     def _skip4(self, size: int) -> bool:
+        return self._skip4_key(("3d", size))
+
+    def _skip4_key(self, key) -> bool:
         """Skip the 4^3 interval stage when observation says it loses.
 
         The (cells, 64)-shaped voxel stage pays ~0.9 ns/lane of coordinate/
@@ -592,43 +760,47 @@ class UnrolledRenderer:
         skip wins 29 vs 77 ms; gears 1670 @22.3: stage wins 78 vs 105;
         architecture 1271 @9.2: stage wins) gives the rule
         amb2/amb1 > 10 + clauses/60."""
-        obs = self._obs.get(("3d", size))
+        obs = self._obs.get(key)
         if obs is None:
             return False
         thr = 10.0 + self.tape.length / 60.0
         return obs[2] > thr * max(obs[1], 1)
 
+    def _skip4_decide(self, key) -> bool:
+        """The frame-loop skip4 decision: the _skip4_key predicate plus a
+        staleness bound — while skipping, the 4^3 stage never runs, so
+        its observed count freezes; re-run the full ladder every 64th
+        frame to refresh it (~1.5% amortized cost when the skip is
+        right) so a stale count cannot latch the skip forever."""
+        if not self._skip4_key(key):
+            self._skip4_age[key] = 0
+            return False
+        age = self._skip4_age.get(key, 0)
+        if age >= 64:
+            self._skip4_age[key] = 0
+            return False
+        self._skip4_age[key] = age + 1
+        return True
+
     def render3d(self, mat=None, size: int = 256, with_normals: bool = True):
         mat = camera.identity3() if mat is None else np.asarray(
             mat, np.float32)
+        key = ("3d", size)
         p0, c1, c2, pn = self._caps3d(size, with_normals)
-        skip4 = self._skip4(size)
+        skip4 = self._skip4_decide(key)
         if skip4:
-            # while skipping, the 4^3 stage never runs, so its observed
-            # count freezes — without a periodic re-measure the skip
-            # decision could latch forever on a stale count after the
-            # view changes.  Re-run the full ladder every 64th frame to
-            # refresh it (~1.5% amortized cost when the skip is right).
-            age = self._skip4_age.get(size, 0)
-            if age >= 64:
-                skip4 = False
-                self._skip4_age[size] = 0
-            else:
-                self._skip4_age[size] = age + 1
-                c2 = 256
-        else:
-            self._skip4_age[size] = 0
+            c2 = 256
         n = size // 64
         while True:
             depth, normals, cnt = self._r3(jnp.asarray(mat), size, p0, c1,
                                            c2, pn, with_normals, skip4)
             a0, a1, a2, aN = (int(v) for v in np.asarray(cnt))
-            prev = self._obs.get(("3d", size), (0, 0, 0, 1))
+            prev = self._obs.get(key, (0, 0, 0, 1))
             if not with_normals:
                 aN = prev[3]   # keep the observed normals-tile count
             if skip4:
                 a2 = prev[2]   # the 4^3 stage didn't run; keep its count
-            self._record(("3d", size), (a0, a1, a2, max(aN, 1)))
+            self._record(key, (a0, a1, a2, max(aN, 1)))
             if a0 <= p0 and a1 <= c1 and (skip4 or a2 <= c2) and (
                     not with_normals or aN <= pn):
                 return (np.asarray(depth),
@@ -638,6 +810,53 @@ class UnrolledRenderer:
             if not skip4:
                 c2 = max(c2, _bucket(a2, 2048, n * n * n * 64 * 64))
             pn = max(pn, _bucket(aN, 16, n * n))
+
+    def render3d_sharded(self, mat=None, size: int = 256, mesh=None,
+                         with_normals: bool = True):
+        """Multi-chip unrolled 3D render: each device owns a slab of
+        64px tile rows (full z columns — occlusion culling stays exact
+        slab-locally) and runs the whole ladder; the output sharding
+        reassembles depth/normals.  Same contract as render3d."""
+        from ..parallel.sharded import make_mesh
+        mesh = make_mesh() if mesh is None else mesh
+        nd = int(mesh.devices.size)
+        n = size // 64
+        if n % nd:
+            raise ValueError(f"size {size}: {n} tile rows must divide "
+                             f"{nd} devices")
+        rows = n // nd
+        mat = camera.identity3() if mat is None else np.asarray(
+            mat, np.float32)
+        key = ("3ds", size * 1000 + nd)    # obs keys are (kind, int)
+        p0, c1, c2, pn = self._caps3d_for(key, size, rows)
+        skip4 = self._skip4_decide(key)
+        if skip4:
+            c2 = 256
+        while True:
+            out = self._r3s(jnp.asarray(mat), size, p0, c1, c2, pn,
+                            with_normals, skip4, mesh, rows)
+            if with_normals:
+                depth, normals, cnts = out
+            else:
+                depth, cnts = out
+                normals = None
+            a = np.asarray(cnts).max(axis=0)       # worst slab governs
+            a0, a1, a2, aN = (int(v) for v in a)
+            prev = self._obs.get(key, (0, 0, 0, 1))
+            if not with_normals:
+                aN = prev[3]
+            if skip4:
+                a2 = prev[2]
+            self._record(key, (a0, a1, a2, max(aN, 1)))
+            if a0 <= p0 and a1 <= c1 and (skip4 or a2 <= c2) and (
+                    not with_normals or aN <= pn):
+                return (np.asarray(depth),
+                        None if normals is None else np.asarray(normals))
+            p0 = max(p0, _bucket(a0, 64, rows * n * n))
+            c1 = max(c1, _bucket(a1, 512, rows * n * n * 64))
+            if not skip4:
+                c2 = max(c2, _bucket(a2, 2048, rows * n * n * 64 * 64))
+            pn = max(pn, _bucket(aN, 16, rows * n))
 
 
 _RENDERERS: Dict[str, UnrolledRenderer] = {}

@@ -341,3 +341,50 @@ def test_obs_persisted_only_on_change(spheres_tape, monkeypatch):
     r.render2d(size=128)
     r.render2d(size=128)               # identical counts: no new writes
     assert len(calls) == n_after_first
+
+
+def test_render2d_slab_composition(spheres_tape):
+    """The slab-parameterized ladder (multi-chip unit) composes exactly:
+    rendering each 64px tile-row slab separately and stacking equals the
+    whole-image render."""
+    import jax.numpy as jnp
+    from mpr_tpu.render.unrolled import _render2d_impl
+    r = unrolled.UnrolledRenderer(spheres_tape)
+    size = 128
+    full = r.render2d(size=size)
+    n64 = size // 64
+    mat = jnp.asarray(camera.identity2())
+    z = jnp.float32(0.0)
+    p64, p8 = r._caps2d(size)
+    slabs = []
+    for row in range(n64):
+        img, cnt = _render2d_impl(r.fi, r.f, mat, z, size, p64, p8,
+                                  r0=row, rows64=1)
+        assert img.shape == (64, size)
+        slabs.append(np.asarray(img))
+    assert (np.concatenate(slabs, axis=0) == full).all()
+
+
+def test_render3d_slab_composition(spheres_tape):
+    """The slab-parameterized 3D ladder composes exactly: per-slab
+    depth/normals stacked equal the whole-image render (occlusion is
+    per-xy-column, so slabs are independent by construction)."""
+    import jax.numpy as jnp
+    from mpr_tpu.render.unrolled import _render3d_impl
+    r = unrolled.UnrolledRenderer(spheres_tape)
+    size = 128
+    d_full, n_full = r.render3d(size=size)
+    n64 = size // 64
+    mat = jnp.asarray(camera.identity3())
+    caps = r._caps3d(size, True)
+    dslabs, nslabs = [], []
+    for row in range(n64):
+        d, nrm, cnt = _render3d_impl(r.fi, r.f, r.fd, mat, size, *caps,
+                                     True, False, r0=row, rows=1)
+        assert d.shape == (64, size)
+        dslabs.append(np.asarray(d))
+        nslabs.append(np.asarray(nrm))
+    assert (np.concatenate(dslabs, axis=0) == d_full).all()
+    n_cat = np.concatenate(nslabs, axis=0)
+    m = d_full > 0
+    np.testing.assert_allclose(n_cat[m], n_full[m], atol=1e-6)
