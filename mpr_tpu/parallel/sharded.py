@@ -229,3 +229,46 @@ def make_fit_step(size: int, mesh: Mesh, lr: float = 1e-2,
         return loss, _with_imms(td, td.imms - lr * grad)
 
     return step
+
+
+def make_fit_step_unrolled(tape: Tape, size: int, mesh: Mesh,
+                           lr: float = 1e-2, sharpness: float = 20.0):
+    """make_fit_step through the PRODUCTION evaluator: the unrolled
+    per-shape XLA float chain with the immediates as an argument
+    (ops/unrolled_eval.build_float(take_imms=True)) instead of the scan
+    interpreter — 10-30x cheaper per pixel on TPU, same soft-render loss
+    and psum-reduced gradients.  Gradient parity between the two
+    evaluators is pinned by
+    tests/test_unrolled.py::test_pixel_gradients_match_scan.
+
+    Returns step(imms, target, mat, z) -> (loss, new_imms): the
+    parameter is the flat f32 immediate vector (Tape.imms).
+    """
+    from ..ops import unrolled_eval as ue
+    f = ue.build_float(tape, take_imms=True)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    rows, cols = size // dp, size // sp
+
+    def local_step(imms, target_blk, mat, z):
+        x, y, zz = _block_coords(size, rows, cols, mat, z)
+
+        def loss_fn(imms):
+            v = f(x.ravel(), y.ravel(), zz.ravel(), imms)
+            soft = jnp.tanh(-sharpness * v) * 0.5 + 0.5
+            return jnp.sum((soft - target_blk.ravel()) ** 2)
+
+        l, g = jax.value_and_grad(loss_fn)(imms)
+        l = lax.psum(l, ("dp", "sp")) / (size * size)
+        g = lax.psum(g, ("dp", "sp")) / (size * size)
+        return l, g
+
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(P(), P("dp", "sp"), P(), P()),
+                            out_specs=(P(), P()), check_vma=False)
+
+    @jax.jit
+    def step(imms, target, mat, z):
+        loss, grad = sharded(imms, target, mat, z)
+        return loss, imms - lr * grad
+
+    return step

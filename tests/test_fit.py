@@ -73,3 +73,41 @@ def test_grad_matches_finite_difference():
         dn = imms0.copy(); dn[t] -= eps
         fd = (loss(jnp.asarray(up)) - loss(jnp.asarray(dn))) / (2 * eps)
         assert abs(fd - g[t]) < 2e-2 * max(1.0, abs(fd)), (t, fd, g[t])
+
+
+def test_fit_step_unrolled_matches_scan():
+    """The production-evaluator fit step (parallel.sharded.
+    make_fit_step_unrolled) takes the same gradient as the scan-
+    interpreter step, and recovers the target radius the same way."""
+    from mpr_tpu.parallel import sharded
+    size = 64
+    tape = compile_tree(shapes.circle(0.5))
+    td0 = TapeData.from_tape(tape)
+    target = _soft_render(
+        TapeData.from_tape(compile_tree(shapes.circle(0.7))), size,
+        sharpness=8.0)
+    mesh = sharded.make_mesh(1)
+    mat = jnp.asarray(np.eye(3, dtype=np.float32))
+    z = jnp.float32(0.0)
+
+    step_s = sharded.make_fit_step(size, mesh, lr=0.3, sharpness=8.0)
+    step_u = sharded.make_fit_step_unrolled(tape, size, mesh, lr=0.3,
+                                            sharpness=8.0)
+
+    l_s, td1 = step_s(td0, target, mat, z)
+    l_u, imms1 = step_u(jnp.asarray(tape.imms), target, mat, z)
+    np.testing.assert_allclose(float(l_s), float(l_u), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(td1.imms)[:tape.length],
+                               np.asarray(imms1), rtol=1e-4, atol=1e-7)
+
+    # and the unrolled step trains: 300 steps recover the radius
+    imms = jnp.asarray(tape.imms)
+    first = last = None
+    for _ in range(300):
+        l, imms = step_u(imms, target, mat, z)
+        first = float(l) if first is None else first
+        last = float(l)
+    assert last < first * 0.05, (first, last)
+    r_pos = np.asarray(tape.imms) == 0.5
+    r = float(np.asarray(imms)[r_pos][0])
+    assert abs(r - 0.7) < 0.03, r
