@@ -19,14 +19,17 @@ In the browser:
     gui/main.cpp:117-137);
   * mode (2d/heightmap/normals/ssao/shaded) and size selectors.
 
-Rendering uses the interpreter engine (pipeline2d/3d): no per-shape
-compile, so edits re-render in tens of ms — the regime this engine
-exists for (render/unrolled.py is the repeated-render production path).
+Rendering defaults to the interpreter engine (pipeline2d/3d): no
+per-shape compile, so edits re-render in tens of ms — the regime this
+engine exists for.  The engine selector (or ``ENGINE = "unrolled"`` in
+the script) switches to the unrolled production engine: the first frame
+pays the per-shape XLA compile, then orbit/zoom frames are ~4x faster —
+the right mode once a shape stops changing.
 
 Script protocol (the .io directive analog, gui/examples/architecture.io):
 define ``shape`` (a Tree) or ``shapes`` (a list); optional SIZE, MODE,
-VIEW ((yaw, pitch, perspective) or a 4x4 matrix) give the initial
-settings.  Multi-shape scenes composite like the GUI's append mode
+ENGINE, VIEW ((yaw, pitch, perspective) or a 4x4 matrix) give the
+initial settings.  Multi-shape scenes composite like the GUI's append mode
 (gui/tex.cu:35-147): 2D fills OR together; 3D depths take the per-pixel
 max with the winning shape's normals.
 """
@@ -59,6 +62,9 @@ _PAGE = b"""<!doctype html>
       <option>256</option><option selected>512</option>
       <option>1024</option><option>2048</option>
     </select>
+    <select id=engine title="interp: no per-shape compile (editing); unrolled: per-shape XLA compile, faster frames (orbiting)">
+      <option selected>interp</option><option>unrolled</option>
+    </select>
   </div>
   <textarea id=src spellcheck=false
     style="flex:1;background:#1b1e24;color:#d8d8d8;border:1px solid #333;font:12px monospace"></textarea>
@@ -79,7 +85,7 @@ async function tick() {
   try {
     const j = await (await fetch('/status')).json();
     el('stat').textContent =
-      `${j.script} ${j.mode} ${j.size}px render ${j.ms} ms ` +
+      `${j.script} ${j.mode} ${j.size}px [${j.engine}] render ${j.ms} ms ` +
       `yaw ${j.cam.yaw.toFixed(2)} pitch ${j.cam.pitch.toFixed(2)} ` +
       `zoom ${(1 / j.cam.scale).toFixed(2)}x  #${j.seq}`;
     el('err').textContent = j.error || '';
@@ -95,6 +101,7 @@ el('src').onkeydown = e => {
 };
 el('mode').onchange = () => post({mode: el('mode').value});
 el('size').onchange = () => post({size: +el('size').value});
+el('engine').onchange = () => post({engine: el('engine').value});
 const img = el('v');
 img.onmousedown = e => { drag = {x: e.clientX, y: e.clientY, pan: e.shiftKey}; };
 window.onmouseup = () => { drag = null; };
@@ -117,6 +124,7 @@ class ViewerState:
                     "scale": 1.0, "panx": 0.0, "pany": 0.0}
         self.mode = "shaded"
         self.size = 512
+        self.engine = "interp"
         self.png = b""
         self.seq = 0
         self.ms = 0.0
@@ -143,7 +151,7 @@ def _eval_src(src: str, path: str = "<viewer>"):
     if out is None:
         out = [env["shape"]] if "shape" in env else []
     settings = {"size": env.get("SIZE"), "mode": env.get("MODE"),
-                "view": env.get("VIEW", None)}
+                "engine": env.get("ENGINE"), "view": env.get("VIEW", None)}
     return list(out), settings
 
 
@@ -168,12 +176,20 @@ def view_matrix(cam: dict, mode: str) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def render_scene(src: str, cam: dict, mode: str, size: int):
-    """Render script text under the given camera; returns (rgb u8, ms)."""
+def render_scene(src: str, cam: dict, mode: str, size: int,
+                 engine: str = "interp"):
+    """Render script text under the given camera; returns (rgb u8, ms).
+
+    ``engine``: "interp" (no per-shape compile — editing) or "unrolled"
+    (per-shape XLA compile on first use, faster frames — orbiting)."""
     from .render import effects
-    from .render.pipeline2d import render2d
-    from .render.pipeline3d import render3d
     from .tape.tape import compile_tree
+    if engine == "unrolled":
+        from .render import unrolled
+        render2d, render3d = unrolled.render2d, unrolled.render3d
+    else:
+        from .render.pipeline2d import render2d
+        from .render.pipeline3d import render3d
 
     shapes, _ = _eval_src(src)
     if not shapes:
@@ -224,6 +240,8 @@ def _apply_script_settings(state: ViewerState, settings: dict) -> None:
         state.size = int(settings["size"])
     if settings.get("mode"):
         state.mode = str(settings["mode"])
+    if settings.get("engine"):
+        state.engine = str(settings["engine"])
     v = settings.get("view")
     if v is not None:
         v = np.asarray(v, np.float32)
@@ -238,9 +256,9 @@ def _render_worker(state: ViewerState, out=None):
         state.dirty.clear()
         with state.lock:
             src, cam = state.src, dict(state.cam)
-            mode, size = state.mode, state.size
+            mode, size, engine = state.mode, state.size, state.engine
         try:
-            img, ms = render_scene(src, cam, mode, size)
+            img, ms = render_scene(src, cam, mode, size, engine)
             png = _png_bytes(img)
             err = ""
         except Exception as e:  # script errors show in the page
@@ -300,7 +318,8 @@ def make_handler(state: ViewerState):
                     body = json.dumps({
                         "seq": state.seq, "ms": state.ms,
                         "mode": state.mode, "size": state.size,
-                        "cam": dict(state.cam), "error": state.error,
+                        "engine": state.engine, "cam": dict(state.cam),
+                        "error": state.error,
                         "script": os.path.basename(state.path),
                     }).encode()
                 ctype = "application/json"
@@ -328,6 +347,8 @@ def make_handler(state: ViewerState):
                     state.mode = str(req["mode"])
                 if "size" in req:
                     state.size = int(req["size"])
+                if "engine" in req:
+                    state.engine = str(req["engine"])
                 if "orbit" in req:
                     dx, dy = req["orbit"]
                     if state.mode == "2d":
@@ -383,8 +404,10 @@ def render_script(path: str):
     state.path = path
     _, settings = _eval_src(src, path)
     _apply_script_settings(state, settings)
-    img, ms = render_scene(src, state.cam, state.mode, state.size)
-    return img, {"mode": state.mode, "size": state.size}, ms
+    img, ms = render_scene(src, state.cam, state.mode, state.size,
+                           state.engine)
+    return img, {"mode": state.mode, "size": state.size,
+                 "engine": state.engine}, ms
 
 
 def main(argv=None):

@@ -119,3 +119,21 @@ def test_http_surface(tmp_path):
     assert st["error"] == ""
     assert "sphere(0.4)" in path.read_text()   # Save wrote the file
     httpd.shutdown()
+
+
+def test_render_scene_engine_toggle():
+    """engine="unrolled" routes through the production engine and
+    produces the identical image (both engines are exact vs the same
+    oracle); ENGINE in the script sets the initial state."""
+    cam = {"yaw": 0, "pitch": 0, "persp": 0, "scale": 1.0,
+           "panx": 0, "pany": 0}
+    img_i, _ = viewer.render_scene("shape = circle(0.5)", cam, "2d", 128,
+                                   engine="interp")
+    img_u, _ = viewer.render_scene("shape = circle(0.5)", cam, "2d", 128,
+                                   engine="unrolled")
+    assert (img_i == img_u).all()
+
+    state = viewer.ViewerState()
+    _, st = viewer._eval_src("ENGINE = 'unrolled'\nshape = circle(0.5)")
+    viewer._apply_script_settings(state, st)
+    assert state.engine == "unrolled"
