@@ -49,9 +49,14 @@ def _normals_to_rgb(normals):
 def cmd_render2d(args):
     from .render import pipeline2d, brute, unrolled
     tape = _load(args.file)
-    fn = (brute.render2d_brute if args.brute else
-          unrolled.render2d if args.engine == "unrolled" else
-          pipeline2d.render2d)
+    if getattr(args, "sharded", False):
+        from .parallel import sharded
+        fn = (sharded.render2d_sharded_unrolled
+              if args.engine == "unrolled" else sharded.render2d_sharded)
+    else:
+        fn = (brute.render2d_brute if args.brute else
+              unrolled.render2d if args.engine == "unrolled" else
+              pipeline2d.render2d)
     img = fn(tape, size=args.size)
     _save(args.out, (img * np.uint8(255)))
     if args.check:
@@ -72,7 +77,12 @@ def cmd_render3d(args):
     from .render import effects
     from .render import camera
     tape = _load(args.file)
-    if args.engine == "unrolled":
+    if getattr(args, "sharded", False):
+        from .parallel import sharded
+        render3d = (sharded.render3d_sharded_unrolled
+                    if args.engine == "unrolled"
+                    else sharded.render3d_sharded)
+    elif args.engine == "unrolled":
         from .render.unrolled import render3d
     else:
         from .render.pipeline3d import render3d
@@ -379,6 +389,9 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--out", default="out_2d.png")
     p.add_argument("--brute", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard tile rows over all visible devices "
+                        "(either engine; bit-exact vs single-chip)")
     p.add_argument("--check", action="store_true",
                    help="cross-check against the NumPy oracle")
     p.set_defaults(fn=cmd_render2d)
@@ -393,6 +406,8 @@ def main(argv=None):
                    choices=["heightmap", "normals", "ssao", "shaded", "all"])
     p.add_argument("--view", default="bench",
                    choices=["identity", "bench", "gui"])
+    p.add_argument("--sharded", action="store_true",
+                   help="shard tile rows over all visible devices")
     p.set_defaults(fn=cmd_render3d)
 
     for name, fn, sizes_default in [("table2d", cmd_table2d, None),
