@@ -19,14 +19,59 @@ reference on its own hardware).
 """
 
 import json
+import os
+import subprocess
 import sys
+import time
 
 # V100 frame times from the reference's README table
 # (/root/reference/README.md:109-111)
 BASELINE_MS = {256: 5.29331, 512: 4.21138, 1024: 3.85596}
 
 
+def _backend_alive(timeout_s: int = 180) -> bool:
+    """Probe JAX backend init in a subprocess with a hard timeout.
+
+    The axon TPU plugin blocks FOREVER inside backend init when its
+    tunnel is down (observed 2026-08-17) — an unguarded ``jax.devices()``
+    here would hang the whole benchmark run.  The child inherits this
+    process's env (including the driver's JAX_PLATFORMS), so it probes
+    exactly the backend the real run would use.
+    """
+    code = "import jax; print(jax.default_backend(), len(jax.devices()))"
+    timeout_s = int(os.environ.get("MPR_BENCH_PROBE_TIMEOUT", timeout_s))
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    if r.returncode == 0:
+        print(f"backend probe: {r.stdout.strip()}", file=sys.stderr)
+    return r.returncode == 0
+
+
 def main():
+    if os.environ.get("MPR_BENCH_BACKEND") == "cpu":
+        # debugging escape hatch: run the whole protocol on XLA:CPU
+        # (numbers are NOT comparable to the V100 baseline)
+        sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        for attempt in range(3):
+            if _backend_alive():
+                break
+            print(f"backend probe {attempt + 1}/3 failed (tunnel down?)",
+                  file=sys.stderr)
+            if attempt < 2:
+                time.sleep(60)
+        else:
+            print("FATAL: JAX backend unreachable after 3 probes; "
+                  "refusing to hang. Re-run when the TPU tunnel is up "
+                  "(or MPR_BENCH_BACKEND=cpu for a debug run).",
+                  file=sys.stderr)
+            sys.exit(1)
     import jax
     import jax.numpy as jnp
     from mpr_tpu.frontend import frep
