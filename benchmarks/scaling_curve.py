@@ -66,6 +66,11 @@ _CHILD = """
 
 
 def virtual_curve(size: int = 512, counts=(1, 2, 4, 8)):
+    """CAVEAT (recorded into the JSON): virtual devices are threads of
+    ONE host sharing its physical cores — with fewer cores than devices
+    the curve measures core contention, not sharding overhead.  Wall
+    time ~flat vs device count is the healthy signature (per-device
+    work drops n-fold); real speedup needs real chips."""
     rows = []
     for n in counts:
         env = dict(os.environ)
@@ -130,8 +135,59 @@ def real_chip_overhead(size: int = 1024):
             "overhead_pct": round((ms_s / ms_p - 1) * 100, 1)}
 
 
+def real_chip_overhead_unrolled(size: int = 1024):
+    """Sharded-on-(1,1)-mesh vs unsharded frame time for the UNROLLED
+    (production) engine on the real chip."""
+    import jax.numpy as jnp
+    from mpr_tpu.frontend import frep
+    from mpr_tpu.parallel import sharded
+    from mpr_tpu.render import camera, unrolled
+    from mpr_tpu.tape.tape import compile_tree
+    from mpr_tpu.utils.timing import time_frames
+
+    tree = frep.load(
+        "/root/reference/benchmark/files/prospero.frep")[0].tree
+    tape = compile_tree(tree)
+    r = unrolled.get_renderer(tape)
+    mesh = sharded.make_mesh(1)
+    mat = jnp.asarray(camera.identity2())
+    z = jnp.float32(0.0)
+    for _ in range(4):           # converge both obs caches to snug tier
+        r.render2d(size=size)
+        r.render2d_sharded(size=size, mesh=mesh)
+        if r._snug(("2d", size)) and r._snug(("2ds", size * 1000 + 1)):
+            break
+    caps = r._caps2d(size)
+    n64 = size // 64
+
+    def frame_plain(mat):
+        img, _ = r._r2(mat, z, size, *caps)
+        return img
+
+    def frame_sharded(mat):
+        img, _ = r._r2s(mat, z, size, caps[0], caps[1], mesh, n64)
+        return img
+
+    ms_p = time_frames(frame_plain, mat, n=30, n0=4)
+    ms_s = time_frames(frame_sharded, mat, n=30, n0=4)
+    print(f"real chip @{size} [unrolled]: sharded(1x1) {ms_s:.3f} ms vs "
+          f"unsharded {ms_p:.3f} ms -> overhead "
+          f"{(ms_s / ms_p - 1) * 100:.1f}%", flush=True)
+    return {"sharded_ms": round(ms_s, 3), "plain_ms": round(ms_p, 3),
+            "overhead_pct": round((ms_s / ms_p - 1) * 100, 1)}
+
+
 def main():
-    out = {"virtual_curve": virtual_curve()}
+    out = {
+        "env": {
+            "host_cpus": os.cpu_count(),
+            "note": "virtual devices share this host's cores; with "
+                    "host_cpus < devices the curve measures core "
+                    "contention (healthy signature on an unloaded "
+                    "host: ~flat wall time as devices grow)",
+        },
+        "virtual_curve": virtual_curve(),
+    }
     # env-first backend check (kernels._on_cpu rationale): calling
     # jax.default_backend() initializes every PJRT plugin, and the axon
     # TPU plugin blocks indefinitely when its tunnel is down — a forced
@@ -144,6 +200,8 @@ def main():
         on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         out["real_chip_1dev_overhead"] = real_chip_overhead()
+        out["real_chip_1dev_overhead_unrolled"] = (
+            real_chip_overhead_unrolled())
     out["ici_model"] = {
         "comment": "2D tiles have no cross-tile dependence; per-frame "
                    "collective = image gather of size^2/N bytes/chip",

@@ -28,6 +28,13 @@ import numpy as np
 def _load(path: str):
     from .frontend import frep
     from .tape.tape import compile_tree
+    if path.startswith("stress:"):
+        # synthetic long-tape model, e.g. ``stress:1500`` — the working
+        # analog of the reference's missing prospero_long.frep
+        # (/root/reference/benchmark/tape_shortening.cpp:29); see
+        # frontend/shapes.py::stress_2d
+        from .frontend import shapes as shapelib
+        return compile_tree(shapelib.stress_2d(int(path.split(":", 1)[1])))
     shapes = frep.load(path)
     return compile_tree(shapes[0].tree)
 

@@ -149,6 +149,40 @@ def ring(ro: float = 0.9, ri: float = 0.5) -> Tree:
     return intersection(d - ro, ri - d)
 
 
+def stress_2d(n_blobs: int = 1500, seed: int = 2020) -> Tree:
+    """Long-tape 2D stress model (~7 clauses per blob): a deterministic
+    pseudo-random field of circles and rotated squares, some warped by a
+    sin ripple.  The analog of the reference's MISSING
+    ``prospero_long.frep`` (/root/reference/benchmark/tape_shortening.cpp:29
+    references it; it was never shipped, leaving that benchmark broken) —
+    a model well past prospero's tape length (n_blobs=1500 -> ~13.4k
+    clauses vs prospero's 5.4k; scale n_blobs for more), for stressing
+    the tape compiler, shortening statistics, and the engines'
+    clause-count scaling.  Deterministic: same (n_blobs, seed) ->
+    bit-identical tree."""
+    import random
+    rng = random.Random(seed)
+    blobs = []
+    for i in range(n_blobs):
+        cx_ = rng.uniform(-0.95, 0.95)
+        cy_ = rng.uniform(-0.95, 0.95)
+        r = rng.uniform(0.004, 0.02)
+        kind = rng.random()
+        if kind < 0.6:
+            blobs.append(circle(r, cx_, cy_))
+        elif kind < 0.9:
+            blobs.append(rotate_z(move(rectangle(-r, r, -r, r),
+                                       cx_, cy_), rng.uniform(0, math.pi)))
+        else:   # sin-rippled circle: exercises transcendentals
+            d = sqrt(square(x() - cx_) + square(y() - cy_))
+            blobs.append(d - r + sin(x() * rng.uniform(20.0, 60.0)) * (r / 4))
+    # balanced union keeps the DAG shallow (liveness then needs O(log n)
+    # slots, far under tape.SLOT_CAP)
+    while len(blobs) > 1:
+        blobs = [union(*blobs[i:i + 2]) for i in range(0, len(blobs), 2)]
+    return blobs[0]
+
+
 def menger(level: int = 2) -> Tree:
     """Menger-sponge-ish stress shape for 3D benchmarks."""
     shape = box(-1, 1, -1, 1, -1, 1)

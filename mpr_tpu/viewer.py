@@ -54,6 +54,7 @@ _PAGE = b"""<!doctype html>
   <div>
     <button id=run>Run (Ctrl-Enter)</button>
     <button id=save>Save</button>
+    <button id=savef title="serialize the scene's shapes to a .frep archive next to the script">.frep</button>
     <select id=mode>
       <option>2d</option><option>heightmap</option><option>normals</option>
       <option>ssao</option><option selected>shaded</option>
@@ -96,6 +97,7 @@ async function tick() {
 fetch('/script').then(r => r.text()).then(t => { el('src').value = t; tick(); });
 el('run').onclick = () => post({script: el('src').value});
 el('save').onclick = () => post({script: el('src').value, save: true});
+el('savef').onclick = () => post({script: el('src').value, save_frep: true});
 el('src').onkeydown = e => {
   if (e.ctrlKey && e.key === 'Enter') { e.preventDefault(); el('run').click(); }
 };
@@ -153,6 +155,28 @@ def _eval_src(src: str, path: str = "<viewer>"):
     settings = {"size": env.get("SIZE"), "mode": env.get("MODE"),
                 "engine": env.get("ENGINE"), "view": env.get("VIEW", None)}
     return list(out), settings
+
+
+def _save_frep(state: "ViewerState") -> str:
+    """Serialize the current scene's shapes to ``<script-stem>.frep``
+    (the GUI's save-shape feature, /root/reference/gui/main.cpp:394-403;
+    archives round-trip through frontend/frep.py and load in the
+    reference).  Returns the written path; errors land in state.error
+    like render errors do.  Caller holds state.lock."""
+    from .frontend import frep as _frep
+    try:
+        shapes_, _ = _eval_src(state.src, state.path or "<viewer>")
+        if not shapes_:
+            raise ValueError("script defines no shape/shapes")
+        stem = os.path.splitext(state.path)[0] if state.path else "scene"
+        out_path = stem + ".frep"
+        _frep.dump([s if isinstance(s, _frep.ArchiveShape)
+                    else _frep.ArchiveShape(tree=s, name=f"shape{i}")
+                    for i, s in enumerate(shapes_)], out_path)
+        return out_path
+    except Exception as e:                      # report, never crash
+        state.error = f"save_frep failed: {e}"
+        return ""
 
 
 def view_matrix(cam: dict, mode: str) -> np.ndarray:
@@ -337,12 +361,18 @@ def make_handler(state: ViewerState):
                 req = json.loads(self.rfile.read(n) or b"{}")
             except ValueError:
                 req = {}
+            resp = {}
             with state.lock:
                 if "script" in req:
                     state.src = str(req["script"])
                     if req.get("save"):
                         with open(state.path, "w") as f:
                             f.write(state.src)
+                if req.get("save_frep"):
+                    # shape serialization, the GUI's save-to-.frep
+                    # (/root/reference/gui/main.cpp:394-403); always
+                    # written NEXT TO the script (no client paths)
+                    resp["saved_frep"] = _save_frep(state)
                 if "mode" in req:
                     state.mode = str(req["mode"])
                 if "size" in req:
@@ -368,7 +398,7 @@ def make_handler(state: ViewerState):
                         state.cam["scale"] * float(req["zoom"]),
                         1e-3, 1e3))
             state.dirty.set()
-            self._send(b"{}", "application/json")
+            self._send(json.dumps(resp).encode(), "application/json")
     return H
 
 

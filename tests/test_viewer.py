@@ -118,6 +118,24 @@ def test_http_surface(tmp_path):
     st = wait_seq(st["seq"] + 1)
     assert st["error"] == ""
     assert "sphere(0.4)" in path.read_text()   # Save wrote the file
+
+    # .frep save: serialize the scene's shapes next to the script
+    # (gui/main.cpp:394-403 analog) and round-trip through the loader
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    c.request("POST", "/update", json.dumps({"save_frep": True}))
+    r = c.getresponse()
+    saved = json.loads(r.read())["saved_frep"]
+    assert saved == str(tmp_path / "scene.frep")
+    from mpr_tpu.frontend import frep
+    from mpr_tpu import oracle
+    from mpr_tpu.tape.tape import compile_tree
+    import numpy as np
+    (shape,) = frep.load(saved)
+    t = compile_tree(shape.tree)
+    # sphere(0.4): inside at origin, outside at (0.5, 0, 0)
+    v = oracle.eval_f(t, np.float32([0.0, 0.5]), np.float32([0.0, 0.0]),
+                      np.float32([0.0, 0.0]))
+    assert v[0] < 0 < v[1]
     httpd.shutdown()
 
 
