@@ -381,6 +381,57 @@ def cmd_dump_tape(args):
           f"choices={tape.num_choices}")
 
 
+def cmd_fit(args):
+    """Differentiable fitting (beyond the reference): gradient-descend
+    FILE's tape constants until its soft 2D render matches a target —
+    another model's oracle render (.frep) or a grayscale PNG in cli
+    render2d's row convention.  Runs sharded over all visible devices
+    (one psum per step); --engine unrolled trains through the production
+    evaluator (parallel/sharded.py::make_fit_step[_unrolled])."""
+    import jax.numpy as jnp
+    from .io import checkpoint
+    from .ops.tape_data import TapeData
+    from .parallel import sharded
+    from .render import camera
+    tape = _load(args.file)
+    size = args.size
+    if args.target.endswith(".png"):
+        from .io.png import read_png_gray
+        tgt = read_png_gray(args.target).astype(np.float32) / 255.0
+        if tgt.shape != (size, size):
+            sys.exit(f"target is {tgt.shape}, expected {(size, size)}")
+    else:
+        from . import oracle
+        p = camera.pixel_centers(size)
+        X, Y = np.meshgrid(p, p)
+        tgt = (oracle.eval_f(_load(args.target), X, Y) < 0).astype(
+            np.float32)
+    mesh = sharded.make_mesh()
+    mat, z = jnp.asarray(camera.identity2()), jnp.float32(0.0)
+    tgt_j = jnp.asarray(tgt)
+    every = max(1, args.steps // 10)
+    if args.engine == "unrolled":
+        step = sharded.make_fit_step_unrolled(tape, size, mesh, lr=args.lr)
+        state = jnp.asarray(tape.imms)
+    else:
+        step = sharded.make_fit_step(size, mesh, lr=args.lr)
+        state = TapeData.from_tape(tape)
+    for i in range(args.steps):
+        loss, state = step(state, tgt_j, mat, z)
+        if i % every == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.6f}")
+    fitted = np.asarray(state if args.engine == "unrolled" else state.imms)
+    checkpoint.save_tape(args.out, tape, imms=fitted)
+    print(f"wrote {args.out}", file=sys.stderr)
+    if args.render_out:
+        from . import oracle
+        t2 = checkpoint.load_tape(args.out)
+        p = camera.pixel_centers(size)
+        X, Y = np.meshgrid(p, p)
+        img = oracle.eval_f(t2, X, Y) < 0
+        _save(args.render_out, img * np.uint8(255))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mpr_tpu.cli", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -468,6 +519,20 @@ def main(argv=None):
     p.add_argument("file")
     p.add_argument("--limit", type=int, default=60)
     p.set_defaults(fn=cmd_dump_tape)
+
+    p = sub.add_parser("fit", help="fit tape constants to a target image")
+    p.add_argument("file")
+    p.add_argument("--target", required=True,
+                   help=".frep (oracle-rendered) or grayscale .png")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--engine", default="scan",
+                   choices=["scan", "unrolled"])
+    p.add_argument("--out", default="fitted.npz")
+    p.add_argument("--render-out", default="",
+                   help="also render the fitted tape (oracle) to PNG")
+    p.set_defaults(fn=cmd_fit)
 
     args = ap.parse_args(argv)
     args.fn(args)
