@@ -73,14 +73,41 @@ _PAGE = b"""<!doctype html>
 </div>
 <div style="flex:1;display:flex;flex-direction:column">
   <div id=stat style="padding:4px"></div>
-  <img id=v draggable=false
-    style="image-rendering:pixelated;max-width:100%;max-height:95vh;cursor:grab">
+  <div style="position:relative">
+    <img id=v draggable=false
+      style="image-rendering:pixelated;max-width:100%;max-height:95vh;cursor:grab">
+    <canvas id=axes width=70 height=70
+      style="position:absolute;left:6px;bottom:10px;pointer-events:none"></canvas>
+  </div>
 </div>
 <script>
 let seq = -1, drag = null;
 const el = id => document.getElementById(id);
 async function post(body) {
   await fetch('/update', {method: 'POST', body: JSON.stringify(body)});
+}
+function drawAxes(cam, mode) {
+  // XYZ gizmo (the reference GUI's axis overlay, gui/main.cpp:420-437):
+  // screen dir of shape axis e is Rz(-yaw)*Rx(-pitch)*e (the inverse of
+  // view_matrix's rotation); canvas y points down, screen up is +y.
+  const cv = el('axes'), g = cv.getContext('2d');
+  g.clearRect(0, 0, 70, 70);
+  if (mode === '2d') return;
+  const cp = Math.cos(cam.pitch), sp = Math.sin(cam.pitch);
+  const cy = Math.cos(cam.yaw), sy = Math.sin(cam.yaw);
+  const axes = [[[1,0,0],'#e06c75','x'], [[0,1,0],'#98c379','y'],
+                [[0,0,1],'#61afef','z']].map(([e, col, lbl]) => {
+    const y1 = cp*e[1] + sp*e[2], z1 = -sp*e[1] + cp*e[2];
+    return {v: [cy*e[0] + sy*y1, -sy*e[0] + cy*y1, z1], col, lbl};
+  }).sort((a, b) => a.v[2] - b.v[2]);      // far first
+  for (const {v, col, lbl} of axes) {
+    g.strokeStyle = g.fillStyle = col;
+    g.lineWidth = 1.5;
+    g.beginPath(); g.moveTo(35, 35);
+    g.lineTo(35 + 24*v[0], 35 - 24*v[1]); g.stroke();
+    g.font = '10px monospace';
+    g.fillText(lbl, 33 + 31*v[0], 38 - 31*v[1]);
+  }
 }
 async function tick() {
   try {
@@ -90,6 +117,7 @@ async function tick() {
       `yaw ${j.cam.yaw.toFixed(2)} pitch ${j.cam.pitch.toFixed(2)} ` +
       `zoom ${(1 / j.cam.scale).toFixed(2)}x  #${j.seq}`;
     el('err').textContent = j.error || '';
+    drawAxes(j.cam, j.mode);
     if (j.seq !== seq) { seq = j.seq; el('v').src = '/frame.png?s=' + seq; }
   } catch (e) {}
   setTimeout(tick, 250);
