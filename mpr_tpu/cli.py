@@ -383,9 +383,11 @@ def cmd_dump_tape(args):
 
 def cmd_fit(args):
     """Differentiable fitting (beyond the reference): gradient-descend
-    FILE's tape constants until its soft 2D render matches a target —
-    another model's oracle render (.frep) or a grayscale PNG in cli
-    render2d's row convention.  Runs sharded over all visible devices
+    FILE's tape constants until its soft render matches a target —
+    another model's oracle render (.frep) or a grayscale PNG (cli
+    render2d / render3d conventions).  --mode 2d fits a fill image;
+    --mode 3d fits a DEPTH image via volume-compositing soft depth
+    (sharded.make_fit_step_3d).  Runs sharded over all visible devices
     (one psum per step); --engine unrolled trains through the production
     evaluator (parallel/sharded.py::make_fit_step[_unrolled])."""
     import jax.numpy as jnp
@@ -395,11 +397,25 @@ def cmd_fit(args):
     from .render import camera
     tape = _load(args.file)
     size = args.size
+    fit3d = args.mode == "3d"
+    if args.lr is None:
+        args.lr = 3e-4 if fit3d else 1e-2
     if args.target.endswith(".png"):
         from .io.png import read_png_gray
         tgt = read_png_gray(args.target).astype(np.float32) / 255.0
         if tgt.shape != (size, size):
             sys.exit(f"target is {tgt.shape}, expected {(size, size)}")
+        if fit3d:
+            tgt *= size       # undo render3d's _depth_to_u8 scaling
+    elif fit3d:
+        # dense-grid oracle depth of the target model (voxel units,
+        # the pipeline3d depth convention)
+        from . import oracle
+        c = camera.pixel_centers(size)
+        Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
+        filled = oracle.eval_f(_load(args.target), X, Y, Z) < 0
+        zi = np.arange(size, dtype=np.float32)[:, None, None] + 1.0
+        tgt = np.max(np.where(filled, zi, 0.0), axis=0)
     else:
         from . import oracle
         p = camera.pixel_centers(size)
@@ -407,29 +423,44 @@ def cmd_fit(args):
         tgt = (oracle.eval_f(_load(args.target), X, Y) < 0).astype(
             np.float32)
     mesh = sharded.make_mesh()
-    mat, z = jnp.asarray(camera.identity2()), jnp.float32(0.0)
     tgt_j = jnp.asarray(tgt)
     every = max(1, args.steps // 10)
-    if args.engine == "unrolled":
+    if fit3d:
+        mat = jnp.asarray(camera.identity3())
+        step3 = sharded.make_fit_step_3d(tape, size, mesh, lr=args.lr)
+        step = lambda st, t, m, z_: step3(st, t, m)
+        state = jnp.asarray(tape.imms)
+    elif args.engine == "unrolled":
         step = sharded.make_fit_step_unrolled(tape, size, mesh, lr=args.lr)
         state = jnp.asarray(tape.imms)
     else:
         step = sharded.make_fit_step(size, mesh, lr=args.lr)
         state = TapeData.from_tape(tape)
+    if not fit3d:
+        mat = jnp.asarray(camera.identity2())
+    z = jnp.float32(0.0)
     for i in range(args.steps):
         loss, state = step(state, tgt_j, mat, z)
         if i % every == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.6f}")
-    fitted = np.asarray(state if args.engine == "unrolled" else state.imms)
+    fitted = np.asarray(state if (fit3d or args.engine == "unrolled")
+                        else state.imms)
     checkpoint.save_tape(args.out, tape, imms=fitted)
     print(f"wrote {args.out}", file=sys.stderr)
     if args.render_out:
         from . import oracle
         t2 = checkpoint.load_tape(args.out)
-        p = camera.pixel_centers(size)
-        X, Y = np.meshgrid(p, p)
-        img = oracle.eval_f(t2, X, Y) < 0
-        _save(args.render_out, img * np.uint8(255))
+        c = camera.pixel_centers(size)
+        if fit3d:
+            Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
+            filled = oracle.eval_f(t2, X, Y, Z) < 0
+            zi = np.arange(size, dtype=np.float32)[:, None, None] + 1.0
+            depth = np.max(np.where(filled, zi, 0.0), axis=0)
+            _save(args.render_out, _depth_to_u8(depth, size))
+        else:
+            X, Y = np.meshgrid(c, c)
+            img = oracle.eval_f(t2, X, Y) < 0
+            _save(args.render_out, img * np.uint8(255))
 
 
 def main(argv=None):
@@ -524,9 +555,14 @@ def main(argv=None):
     p.add_argument("file")
     p.add_argument("--target", required=True,
                    help=".frep (oracle-rendered) or grayscale .png")
+    p.add_argument("--mode", default="2d", choices=["2d", "3d"],
+                   help="2d: soft fill vs a fill image; 3d: volume-"
+                        "compositing soft depth vs a depth image "
+                        "(--size is the voxel grid side)")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--steps", type=int, default=200)
-    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--lr", type=float, default=None,
+                   help="default 1e-2 (2d) / 3e-4 (3d: voxel-unit loss)")
     p.add_argument("--engine", default="scan",
                    choices=["scan", "unrolled"])
     p.add_argument("--out", default="fitted.npz")

@@ -231,6 +231,74 @@ def make_fit_step(size: int, mesh: Mesh, lr: float = 1e-2,
     return step
 
 
+def make_fit_step_3d(tape: Tape, grid: int, mesh: Mesh, lr: float = 3e-4,
+                     sharpness: float = 40.0):
+    """Sharded 3D differentiable fitting: match a target DEPTH image.
+
+    The discrete painter's-algorithm depth (top filled voxel + 1,
+    render/pipeline3d.py convention) is not differentiable, so the
+    forward is volume compositing over a dense ``grid``³ occupancy field
+    evaluated through the unrolled float chain: occ = σ(-k·f), the
+    probability voxel z is the TOPMOST filled one is
+    w_z = occ_z · Π_{z'>z}(1 − occ_{z'}) (a reversed cumprod — the
+    transmittance trick), and soft_depth = Σ_z w_z·(z+1).  As k→∞ this
+    converges to the discrete depth; gradients flow through every voxel
+    near the surface.  Pixels shard over the mesh like the renderers
+    (each device owns a slab of y rows); one psum reduces loss + grads.
+
+    Returns step(imms, target_depth, mat) -> (loss, new_imms) with
+    target_depth float32 (grid, grid) in voxel units (0 = empty).
+    NOTE: the loss is in squared VOXEL units, so gradients are ~grid×
+    steeper than the 2D fill fits — default lr is correspondingly small
+    (sphere-radius gradient measured ~2.4e2 at grid=16).
+    """
+    from ..ops import unrolled_eval as ue
+    f = ue.build_float(tape, take_imms=True)
+    nd = mesh.devices.size
+    if grid % nd:
+        raise ValueError(f"grid {grid} must divide {nd} devices")
+    rows = grid // nd
+
+    def local_step(imms, target_blk, mat):
+        r = (lax.axis_index("dp") * mesh.shape["sp"]
+             + lax.axis_index("sp")) * rows
+        c = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid * 2.0 - 1.0
+        fy = c[r + jnp.arange(rows)]
+        Z, Y, X = jnp.meshgrid(c, fy, c, indexing="ij")   # (grid,rows,grid)
+        wx, wy, wz = camera.transform3(mat, X.ravel(), Y.ravel(),
+                                       Z.ravel(), jnp)
+
+        def loss_fn(imms):
+            v = f(wx, wy, wz, imms).reshape(grid, rows, grid)
+            occ = jax.nn.sigmoid(-sharpness * v)
+            # transmittance from the top (z = last index): probability
+            # that every voxel ABOVE z is empty
+            above_empty = jnp.cumprod(1.0 - occ[::-1], axis=0)[::-1]
+            trans = jnp.concatenate([above_empty[1:],
+                                     jnp.ones_like(occ[:1])], axis=0)
+            w = occ * trans
+            zi = (jnp.arange(grid, dtype=jnp.float32)
+                  + 1.0)[:, None, None]
+            soft_depth = jnp.sum(w * zi, axis=0)          # (rows, grid)
+            return jnp.sum((soft_depth - target_blk) ** 2)
+
+        l, g = jax.value_and_grad(loss_fn)(imms)
+        l = lax.psum(l, ("dp", "sp")) / (grid * grid)
+        g = lax.psum(g, ("dp", "sp")) / (grid * grid)
+        return l, g
+
+    sharded_step = jax.shard_map(local_step, mesh=mesh,
+                                 in_specs=(P(), P(("dp", "sp")), P()),
+                                 out_specs=(P(), P()), check_vma=False)
+
+    @jax.jit
+    def step(imms, target, mat):
+        loss, grad = sharded_step(imms, target, mat)
+        return loss, imms - lr * grad
+
+    return step
+
+
 def make_fit_step_unrolled(tape: Tape, size: int, mesh: Mesh,
                            lr: float = 1e-2, sharpness: float = 20.0):
     """make_fit_step through the PRODUCTION evaluator: the unrolled

@@ -126,6 +126,23 @@ def test_fit_cli(tmp_path, capsys):
     assert float(lines[-1].split()[-1]) < float(lines[0].split()[-1])
 
 
+def test_fit_cli_3d(tmp_path, capsys):
+    """3D depth-fit through the CLI (volume-compositing soft depth)."""
+    from mpr_tpu.frontend import frep, shapes
+    a, b = tmp_path / "a.frep", tmp_path / "b.frep"
+    frep.dump([frep.ArchiveShape(tree=shapes.sphere(0.75))], str(a))
+    frep.dump([frep.ArchiveShape(tree=shapes.sphere(0.55))], str(b))
+    out = tmp_path / "f3.npz"
+    cli.main(["fit", str(a), "--target", str(b), "--mode", "3d",
+              "--size", "16", "--steps", "40",
+              "--out", str(out), "--render-out", str(tmp_path / "d.png")])
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("step")]
+    first, last = (float(ln.split()[-1]) for ln in (lines[0], lines[-1]))
+    assert last < first * 0.7
+    assert (tmp_path / "d.png").exists()
+
+
 def test_render2d_check_failure_exits(tmp_path, monkeypatch):
     """--check must FAIL the process when the render disagrees with the
     oracle (the automated render_2d.cpp cross-check contract)."""
