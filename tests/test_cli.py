@@ -126,6 +126,33 @@ def test_fit_cli(tmp_path, capsys):
     assert float(lines[-1].split()[-1]) < float(lines[0].split()[-1])
 
 
+def test_fit_cli_png_target(tmp_path, capsys):
+    """PNG targets go through io.png.read_png_gray (cli render2d's row
+    convention)."""
+    from mpr_tpu import oracle
+    from mpr_tpu.frontend import frep, shapes
+    from mpr_tpu.io.png import write_png
+    from mpr_tpu.render import camera
+    a = tmp_path / "a.frep"
+    frep.dump([frep.ArchiveShape(tree=shapes.circle(0.8))], str(a))
+    p = camera.pixel_centers(64)
+    X, Y = np.meshgrid(p, p)
+    fill = oracle.eval_f(compile_tree_circle06(), X, Y) < 0
+    write_png(str(tmp_path / "t.png"), fill)
+    cli.main(["fit", str(a), "--target", str(tmp_path / "t.png"),
+              "--size", "64", "--steps", "4", "--lr", "2e-1",
+              "--out", str(tmp_path / "f.npz")])
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("step")]
+    assert float(lines[-1].split()[-1]) < float(lines[0].split()[-1])
+
+
+def compile_tree_circle06():
+    from mpr_tpu.frontend import shapes
+    from mpr_tpu.tape.tape import compile_tree
+    return compile_tree(shapes.circle(0.6))
+
+
 def test_fit_cli_3d(tmp_path, capsys):
     """3D depth-fit through the CLI (volume-compositing soft depth)."""
     from mpr_tpu.frontend import frep, shapes
