@@ -42,6 +42,10 @@ run python -m mpr_tpu.cli render2d "$FILES/prospero.frep" --size 1024 --engine u
 run python -m mpr_tpu.cli render3d "$FILES/bear.frep" --size 512 --mode all --out "$OUT/bear.png"
 run python -m mpr_tpu.cli heatmap2d "$FILES/prospero.frep" --out "$OUT/prospero_heat.png"
 run python -m mpr_tpu.cli shorten-stats "$FILES/prospero.frep"
+# the tape_shortening figure's intended long-tape model (the reference
+# references a missing prospero_long.frep; stress:N is our synthetic
+# stand-in, frontend/shapes.py::stress_2d)
+run python -m mpr_tpu.cli shorten-stats stress:1500
 run python -m mpr_tpu.cli tape-time "$FILES/prospero.frep"
 run python bench.py
 run python benchmarks/scaling_curve.py
