@@ -23,6 +23,8 @@ import struct
 import threading
 from typing import Dict, Iterable, List, Optional, Tuple
 
+import numpy as np
+
 # ---------------------------------------------------------------------------
 # Op names.  These follow libfive's naming (see SURVEY.md section 2.1); the
 # GPU-facing opcode enum lives in mpr_tpu/tape/opcodes.py.
@@ -181,8 +183,8 @@ class Tree:
     def __rsub__(self, o): return _binary("sub", Tree.wrap(o), self)
     def __truediv__(self, o): return _binary("div", self, Tree.wrap(o))
     def __rtruediv__(self, o): return _binary("div", Tree.wrap(o), self)
-    def __neg__(self): return Tree("neg", self)
-    def __abs__(self): return Tree("abs", self)
+    def __neg__(self): return neg(self)          # folds constants
+    def __abs__(self): return abs_(self)
     def __pow__(self, o): return _binary("pow", self, Tree.wrap(o))
 
 
@@ -196,10 +198,11 @@ def _binary(op: str, a: Tree, b: Tree) -> Tree:
     if a.op == CONSTANT and b.op == CONSTANT:
         f = _FOLD.get(op)
         if f is not None:
-            try:
-                return Tree(CONSTANT, value=f(a.value, b.value))
-            except (ValueError, ZeroDivisionError, OverflowError):
-                pass
+            # total fold (numpy semantics: x/0 -> ±inf/nan) — a clause
+            # with two constant operands has no register form, so the
+            # fold must never fail (see _unary_fn)
+            with np.errstate(all="ignore"):
+                return Tree(CONSTANT, value=float(f(a.value, b.value)))
     # identity folding (libfive Cache::checkIdentity)
     if op == "add":
         if a.op == CONSTANT and a.value == 0.0:
@@ -232,10 +235,10 @@ _FOLD = {
     "add": lambda a, b: a + b,
     "mul": lambda a, b: a * b,
     "sub": lambda a, b: a - b,
-    "div": lambda a, b: a / b,
+    "div": np.divide,
     "min": min,
     "max": max,
-    "pow": lambda a, b: a ** b,
+    "pow": np.power,
 }
 
 
@@ -255,10 +258,14 @@ def _unary_fn(op):
         if t.op == CONSTANT:
             g = _UFOLD.get(op)
             if g is not None:
-                try:
-                    return Tree(CONSTANT, value=g(t.value))
-                except (ValueError, OverflowError):
-                    pass
+                # numpy semantics make the fold TOTAL (sqrt(-1) -> nan,
+                # log(0) -> -inf, ...): exactly what the evaluators
+                # would compute, and a constant operand must never
+                # survive folding — the tape compiler has no register
+                # form for it (clauses reference constants only through
+                # the immediate field)
+                with np.errstate(all="ignore"):
+                    return Tree(CONSTANT, value=float(g(t.value)))
         return Tree(op, t)
     f.__name__ = op
     return f
@@ -266,18 +273,18 @@ def _unary_fn(op):
 
 _UFOLD = {
     "square": lambda v: v * v,
-    "sqrt": math.sqrt,
+    "sqrt": np.sqrt,
     "neg": lambda v: -v,
-    "sin": math.sin,
-    "cos": math.cos,
-    "asin": math.asin,
-    "acos": math.acos,
-    "atan": math.atan,
-    "exp": math.exp,
+    "sin": np.sin,
+    "cos": np.cos,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "atan": np.arctan,
+    "exp": np.exp,
     "abs": abs,
-    "log": math.log,
-    "tan": math.tan,
-    "recip": lambda v: 1.0 / v,
+    "log": np.log,
+    "tan": np.tan,
+    "recip": lambda v: np.divide(1.0, v),
 }
 
 square = _unary_fn("square")
@@ -290,6 +297,8 @@ atan = _unary_fn("atan")
 exp = _unary_fn("exp")
 log = _unary_fn("log")
 tan = _unary_fn("tan")
+neg = _unary_fn("neg")
+abs_ = _unary_fn("abs")
 
 
 def minimum(a, b) -> Tree:

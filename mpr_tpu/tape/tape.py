@@ -232,6 +232,19 @@ def compile_tree(tree: Tree, schedule: str = "opruns",
     if fuse:
         from .fuse import fuse_tree
         tree = fuse_tree(tree)
+    if tree.op == CONSTANT:
+        # A constant-only expression (e.g. after folding) has no axis
+        # reads for the slot binder to seed; emit the one-clause program
+        # COPY_IMM directly (the opcode tape shortening already uses,
+        # /root/reference/inc/gpu_opcode.hpp COPY_IMM).  Shared by both
+        # compiler backends.
+        return Tape(ops=np.asarray([int(Op.COPY_IMM)], np.int32),
+                    outs=np.asarray([1], np.int32),
+                    lhss=np.asarray([0], np.int32),
+                    rhss=np.asarray([0], np.int32),
+                    imms=np.asarray([tree.value], np.float32),
+                    axis_slots=(0, 0, 0), result_slot=1, num_slots=2,
+                    num_choices=0, tree=tree)
     if backend in ("auto", "native"):
         from ..native import compile_native
         t = compile_native(tree, schedule)
