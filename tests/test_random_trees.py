@@ -142,3 +142,17 @@ def test_shorten_exact_inside_box():
         p = lo[:, None] + u * (hi - lo)[:, None]
         assert np.array_equal(oracle.eval_f(tape, *p),
                               oracle.eval_f(short, *p))
+
+
+def test_frep_roundtrip_random_trees():
+    """.frep archive round-trip preserves random program structure
+    bit-exactly (writer previously only exercised on the six models)."""
+    from mpr_tpu.frontend import frep
+    shapes_in = [frep.ArchiveShape(tree=t, name=f"s{i}")
+                 for i, (t, _) in enumerate(_TREES[:8])]
+    back = frep.loads(frep.dumps(shapes_in))
+    assert len(back) == len(shapes_in)
+    for (t, tape), s in zip(_TREES[:8], back):
+        t2 = compile_tree(s.tree)
+        for f in ("ops", "outs", "lhss", "rhss", "imms"):
+            assert np.array_equal(getattr(tape, f), getattr(t2, f)), f
