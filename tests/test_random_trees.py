@@ -156,3 +156,20 @@ def test_frep_roundtrip_random_trees():
         t2 = compile_tree(s.tree)
         for f in ("ops", "outs", "lhss", "rhss", "imms"):
             assert np.array_equal(getattr(tape, f), getattr(t2, f)), f
+
+
+def test_deriv_matches_oracle_random_trees():
+    """Forward-mode dual numbers agree between the NumPy oracle and the
+    unrolled deriv chain on random programs (min/max pick branches
+    discontinuously — /root/reference/inc/gpu_deriv.hpp:106-130; random
+    float points make exact ties measure-zero)."""
+    import jax.numpy as jnp
+    from mpr_tpu.ops import unrolled_eval as ue
+    rng = np.random.default_rng(17)
+    pts = rng.uniform(-1, 1, (3, 128)).astype(np.float32)
+    for t, tape in _TREES:
+        want = oracle.eval_d(tape, *pts)           # (v, dx, dy, dz)
+        got = ue.build_deriv(tape)(*(jnp.asarray(p) for p in pts))
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=3e-5,
+                                       atol=3e-5)
