@@ -47,6 +47,11 @@ def _backend_alive(timeout_s: int = 180) -> bool:
         return False
     if r.returncode == 0:
         print(f"backend probe: {r.stdout.strip()}", file=sys.stderr)
+    elif r.stderr:
+        # a non-zero exit may be a broken install rather than a dead
+        # tunnel — surface the child's actual error, don't guess
+        tail = "\n".join(r.stderr.strip().splitlines()[-5:])
+        print(f"backend probe stderr:\n{tail}", file=sys.stderr)
     return r.returncode == 0
 
 

@@ -171,8 +171,12 @@ def stress_2d(n_blobs: int = 1500, seed: int = 2020) -> Tree:
         if kind < 0.6:
             blobs.append(circle(r, cx_, cy_))
         elif kind < 0.9:
-            blobs.append(rotate_z(move(rectangle(-r, r, -r, r),
-                                       cx_, cy_), rng.uniform(0, math.pi)))
+            # rotate about the square's own center: rotate first, then
+            # move (rotate_z(move(...)) would orbit it around the
+            # origin, landing at R^-1(cx,cy) and pushing corner samples
+            # outside the [-1,1] field)
+            blobs.append(move(rotate_z(rectangle(-r, r, -r, r),
+                                       rng.uniform(0, math.pi)), cx_, cy_))
         else:   # sin-rippled circle: exercises transcendentals
             d = sqrt(square(x() - cx_) + square(y() - cy_))
             blobs.append(d - r + sin(x() * rng.uniform(20.0, 60.0)) * (r / 4))

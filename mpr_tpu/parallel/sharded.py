@@ -77,8 +77,8 @@ def _render2d_sharded_jit(td: TapeData, mat, z, size: int, mesh: Mesh):
     n_side = size // TILE
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     if n_side % dp or n_side % sp:
-        raise ValueError(f"size {size}: {n_side} tiles/side must divide "
-                         f"mesh ({dp}, {sp})")
+        raise ValueError(f"size {size}: mesh ({dp}, {sp}) must divide "
+                         f"{n_side} tiles/side")
     rows, cols = n_side // dp, n_side // sp
 
     def local(td, mat, z):
@@ -139,8 +139,8 @@ def _render3d_sharded_jit(td: TapeData, mat, size: int, mesh: Mesh,
     n_side = size // TILE
     nd = mesh.devices.size
     if n_side % nd:
-        raise ValueError(f"size {size}: {n_side} tile rows must divide "
-                         f"{nd} devices")
+        raise ValueError(f"size {size}: {nd} devices must divide "
+                         f"{n_side} tile rows")
     rows = n_side // nd
 
     def local(td, mat):
@@ -256,7 +256,7 @@ def make_fit_step_3d(tape: Tape, grid: int, mesh: Mesh, lr: float = 3e-4,
     f = ue.build_float(tape, take_imms=True)
     nd = mesh.devices.size
     if grid % nd:
-        raise ValueError(f"grid {grid} must divide {nd} devices")
+        raise ValueError(f"{nd} devices must divide grid {grid}")
     rows = grid // nd
 
     def local_step(imms, target_blk, mat):

@@ -685,8 +685,8 @@ class UnrolledRenderer:
         nd = int(mesh.devices.size)
         n64 = size // 64
         if n64 % nd:
-            raise ValueError(f"size {size}: {n64} tile rows must divide "
-                             f"{nd} devices")
+            raise ValueError(f"size {size}: {nd} devices must divide "
+                             f"{n64} tile rows")
         rows = n64 // nd
         mat = camera.identity2() if mat is None else np.asarray(
             mat, np.float32)
@@ -822,8 +822,8 @@ class UnrolledRenderer:
         nd = int(mesh.devices.size)
         n = size // 64
         if n % nd:
-            raise ValueError(f"size {size}: {n} tile rows must divide "
-                             f"{nd} devices")
+            raise ValueError(f"size {size}: {nd} devices must divide "
+                             f"{n} tile rows")
         rows = n // nd
         mat = camera.identity3() if mat is None else np.asarray(
             mat, np.float32)

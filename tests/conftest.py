@@ -78,3 +78,19 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+@pytest.fixture(autouse=True)
+def _release_xla_executables(request):
+    """Drop jitted executables after each slow test.
+
+    The benchmark-size slow tests (1024² 2D / 512² 3D pipelines,
+    8-device sharded graphs) each hold multi-GB XLA:CPU executables;
+    one `--runslow` process accumulating all of them was OOM-killed at
+    130 GB RSS (observed 2026-08-18).  Clearing per-test trades rerun
+    time for a bounded peak."""
+    yield
+    if "slow" in request.keywords:
+        import gc
+        jax.clear_caches()
+        gc.collect()
