@@ -2,12 +2,14 @@
 
 TPU-native replacement for ``libfive::Tree`` as used by the reference
 (``/root/reference/src/tape.cpp:21-228`` consumes the tree API; the libfive
-submodule itself is external).  We support exactly the op set the reference
-tape compiler accepts (``/root/reference/inc/gpu_opcode.hpp:18-56``) plus the
-few libfive ops it rejects (TAN, RECIP, ATAN2, POW, NTH_ROOT, MOD, NANFILL,
-COMPARE) so that ``.frep`` archives deserialize losslessly; the tape compiler
-lowers or rejects those exactly like the reference does
-(``/root/reference/src/tape.cpp:182-196``).
+submodule itself is external).  We support the op set the reference tape
+compiler accepts (``/root/reference/inc/gpu_opcode.hpp:18-56``) plus the
+libfive ops it rejects (TAN, RECIP, ATAN2, POW, NTH_ROOT, MOD, NANFILL,
+COMPARE) so that ``.frep`` archives deserialize losslessly.  Where the
+reference errors on ALL of those (``/root/reference/src/tape.cpp:182-196``),
+:func:`lower_extended` rewrites the expressible ones (tan/recip/atan2/pow/
+nth-root/compare) into supported clauses at compile time; only MOD/NANFILL/
+VAR_FREE still reject.
 
 Design notes (TPU-first):
   * Nodes are immutable and hash-consed (a global intern table), mirroring
@@ -58,6 +60,11 @@ _ALL_OPS = set(LEAF_OPS) | set(UNARY_OPS) | set(BINARY_OPS)
 
 _COMMUTATIVE = {"add", "mul", "min", "max"}
 
+# Ops rewritten into supported clauses by lower_extended (defined at the
+# bottom of this module); tracked as a constructor flag so compile_tree's
+# lowering check is O(1), not a DFS per compile.
+_LOWERABLE = {"tan", "recip", "atan2", "pow", "nth-root", "compare"}
+
 
 class Tree:
     """An immutable, hash-consed expression node.
@@ -66,7 +73,7 @@ class Tree:
     guarantees structurally equal nodes are the same object.
     """
 
-    __slots__ = ("op", "lhs", "rhs", "value", "_id", "__weakref__")
+    __slots__ = ("op", "lhs", "rhs", "value", "_id", "_ext", "__weakref__")
 
     _intern: Dict[tuple, "Tree"] = {}
     _lock = threading.Lock()
@@ -97,6 +104,9 @@ class Tree:
             node.rhs = rhs
             node.value = value if op == CONSTANT else None
             node._id = cls._next_id[0]
+            node._ext = (op in _LOWERABLE
+                         or (lhs is not None and lhs._ext)
+                         or (rhs is not None and rhs._ext))
             cls._next_id[0] += 1
             cls._intern[key] = node
             return node
@@ -236,8 +246,12 @@ _FOLD = {
     "mul": lambda a, b: a * b,
     "sub": lambda a, b: a - b,
     "div": np.divide,
-    "min": min,
-    "max": max,
+    # np.minimum/maximum, not Python min/max: NaN constants can reach a
+    # binary fold now that unary folds are total (sqrt(-1) -> nan), and
+    # Python's min(2.0, nan) == 2.0 while every evaluator (oracle and
+    # jnp kernels) propagates the NaN.
+    "min": np.minimum,
+    "max": np.maximum,
     "pow": np.power,
 }
 
@@ -307,3 +321,109 @@ def minimum(a, b) -> Tree:
 
 def maximum(a, b) -> Tree:
     return _binary("max", Tree.wrap(a), Tree.wrap(b))
+
+
+# ---------------------------------------------------------------------------
+# Extended-op lowering
+# ---------------------------------------------------------------------------
+
+# _LOWERABLE (defined with the op tables above): libfive ops the reference
+# tape compiler REJECTS ("Unimplemented opcode",
+# /root/reference/src/tape.cpp:182-196) but that are expressible in the
+# supported clause algebra.  Lowering them (tape/tape.py::compile_tree calls
+# lower_extended) means .frep archives using them load and render here,
+# run on every engine (tapes only ever contain supported opcodes), and stay
+# differentiable — where the reference errors out.
+
+_UNARY_CTOR = {}  # filled below; op name -> folding constructor
+
+
+def _int_pow(a: Tree, n: int) -> Tree:
+    """a**n for integer n by repeated squaring (exact for negative bases,
+    matching np.power; n == 0 -> 1.0 like np.power)."""
+    if n == 0:
+        return Tree(CONSTANT, value=1.0)
+    if n < 0:
+        return Tree(CONSTANT, value=1.0) / _int_pow(a, -n)
+    r = None
+    base = a
+    while True:
+        if n & 1:
+            r = base if r is None else r * base
+        n >>= 1
+        if not n:
+            return r
+        base = base * base
+
+
+def _lower_node(op: str, a: Tree, b: Optional[Tree]) -> Tree:
+    if op == "tan":
+        return sin(a) / cos(a)
+    if op == "recip":
+        return Tree(CONSTANT, value=1.0) / a
+    if op == "pow":
+        if b.op == CONSTANT and math.isfinite(b.value) \
+                and float(b.value) == int(b.value) and abs(b.value) <= 64:
+            return _int_pow(a, int(b.value))
+        # general: exp(b*log a) — NaN for a<0 like np.power's float branch
+        return exp(b * log(a))
+    if op == "nth-root":
+        if b.op == CONSTANT and b.value == 2.0:
+            return sqrt(a)
+        if b.op == CONSTANT and b.value == 4.0:
+            return sqrt(sqrt(a))
+        return exp(log(a) / b)            # NaN for a<0, like sqrt
+    if op == "atan2":
+        # half-angle form: atan2(y,x) = 2*atan(y / (hypot(x,y) + x)).
+        # Exact everywhere except the closed negative-x half-line
+        # (x<=0, y==0), where it yields NaN instead of ±pi — implicit
+        # surfaces treat NaN as outside, so the branch cut renders as a
+        # hairline seam (documented divergence; the reference simply
+        # cannot compile atan2 at all).
+        y_, x_ = a, b
+        h = sqrt(square(x_) + square(y_))
+        return Tree(CONSTANT, value=2.0) * atan(y_ / (h + x_))
+    if op == "compare":
+        # sign(a-b) in {-1, 0, +1}: clamp of a huge multiple — exact
+        # outside a ~1e-38-wide band around equality, 0 exactly at a==b
+        big = Tree(CONSTANT, value=1e38)
+        return minimum(maximum((a - b) * big, Tree.wrap(-1.0)),
+                       Tree.wrap(1.0))
+    raise AssertionError(op)
+
+
+def lower_extended(t: Tree) -> Tree:
+    """Rewrite every lowerable extended op into supported clauses.
+
+    Returns ``t`` itself when nothing needs rewriting (the common case:
+    a cheap DFS scan, no reconstruction).  MOD/NANFILL (no floor /
+    NaN-select in the clause algebra) and VAR_FREE still raise in the
+    tape compiler, as in the reference."""
+    if not t._ext:                       # O(1): flag set at construction
+        return t
+    order = t.ordered_dfs()
+    memo: Dict[int, Tree] = {}
+
+    def get(n: Tree) -> Tree:
+        return memo.get(n._id, n)
+
+    for n in order:
+        if n.op in _LOWERABLE:
+            b = get(n.rhs) if n.op in BINARY_OPS else None
+            memo[n._id] = _lower_node(n.op, get(n.lhs), b)
+        elif n.op in UNARY_OPS:
+            a = get(n.lhs)
+            if a is not n.lhs:
+                memo[n._id] = _UNARY_CTOR[n.op](a)
+        elif n.op in BINARY_OPS:
+            a, b = get(n.lhs), get(n.rhs)
+            if a is not n.lhs or b is not n.rhs:
+                memo[n._id] = _binary(n.op, a, b)
+    return get(t)
+
+
+_UNARY_CTOR.update({
+    "square": square, "sqrt": sqrt, "neg": neg, "sin": sin, "cos": cos,
+    "asin": asin, "acos": acos, "atan": atan, "exp": exp, "abs": abs_,
+    "log": log, "tan": tan, "recip": lambda a: Tree(CONSTANT, value=1.0) / a,
+})

@@ -55,10 +55,12 @@ _FUSED_GPU = {
     "addsq": Op.ADDSQ_LHS_RHS,
 }
 
-# Ops the reference tape compiler rejects with "Unimplemented opcode"
-# (/root/reference/src/tape.cpp:182-196).
-UNSUPPORTED = ("tan", "recip", "atan2", "pow", "nth-root", "mod",
-               "nanfill", "compare", "var-free")
+# Ops neither compilable nor lowerable (the clause algebra has no floor /
+# NaN-select / free-variable form).  The reference rejects these AND the
+# lowerable set (tan/recip/atan2/pow/nth-root/compare — see
+# frontend/tree.py::lower_extended) with "Unimplemented opcode"
+# (/root/reference/src/tape.cpp:182-196); we only reject these three.
+UNSUPPORTED = ("mod", "nanfill", "var-free")
 
 
 class TapeError(ValueError):
@@ -229,6 +231,11 @@ def compile_tree(tree: Tree, schedule: str = "opruns",
     hypot/addsq compound ops cut interpreter steps 10-15% on the
     benchmark models with identical float semantics.
     """
+    from ..frontend.tree import lower_extended
+    # Rewrite the libfive ops the reference REJECTS (tan/recip/atan2/pow/
+    # nth-root/compare) into supported clauses — archives using them load
+    # and render here instead of erroring (frontend/tree.py docstring).
+    tree = lower_extended(tree)
     if fuse:
         from .fuse import fuse_tree
         tree = fuse_tree(tree)

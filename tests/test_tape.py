@@ -70,10 +70,16 @@ def test_slot_reuse():
 
 
 def test_unsupported_ops_raise():
+    """mod/nanfill have no clause-algebra form and still reject (the
+    reference also rejects tan/pow/... — those now LOWER instead, see
+    tests/test_lowering.py)."""
     with pytest.raises(TapeError):
-        compile_tree(T.tan(T.x()))
+        compile_tree(T.Tree("mod", T.x(), T.y()))
     with pytest.raises(TapeError):
-        compile_tree(T.x() ** T.y())
+        compile_tree(T.Tree("nanfill", T.x(), T.y()))
+    # formerly-rejected ops compile via lowering
+    assert compile_tree(T.tan(T.x())).length
+    assert compile_tree(T.x() ** T.y()).length
 
 
 @pytest.mark.parametrize("name", [
