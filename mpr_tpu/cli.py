@@ -381,6 +381,28 @@ def cmd_dump_tape(args):
           f"choices={tape.num_choices}")
 
 
+def _oracle_fill(tape, size):
+    """NumPy-oracle boolean fill image (the fit target / render-out
+    convention — one definition so the two can't drift apart)."""
+    from . import oracle
+    from .render import camera
+    p = camera.pixel_centers(size)
+    X, Y = np.meshgrid(p, p)
+    return oracle.eval_f(tape, X, Y) < 0
+
+
+def _oracle_depth(tape, size):
+    """NumPy-oracle dense-grid depth (voxel units, the pipeline3d
+    depth convention: 0 = empty, else top filled voxel index + 1)."""
+    from . import oracle
+    from .render import camera
+    c = camera.pixel_centers(size)
+    Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
+    filled = oracle.eval_f(tape, X, Y, Z) < 0
+    zi = np.arange(size, dtype=np.float32)[:, None, None] + 1.0
+    return np.max(np.where(filled, zi, 0.0), axis=0)
+
+
 def cmd_fit(args):
     """Differentiable fitting (beyond the reference): gradient-descend
     FILE's tape constants until its soft render matches a target —
@@ -396,8 +418,11 @@ def cmd_fit(args):
     from .parallel import sharded
     from .render import camera
     tape = _load(args.file)
-    size = args.size
     fit3d = args.mode == "3d"
+    # 3d's grid is cubed (size^3 voxels through value_and_grad every
+    # step): the 2d default of 256 would mean a 16.7M-voxel dense
+    # oracle + gradient — default small instead
+    size = args.size if args.size is not None else (32 if fit3d else 256)
     if args.lr is None:
         args.lr = 3e-4 if fit3d else 1e-2
     if args.target.endswith(".png"):
@@ -408,20 +433,9 @@ def cmd_fit(args):
         if fit3d:
             tgt *= size       # undo render3d's _depth_to_u8 scaling
     elif fit3d:
-        # dense-grid oracle depth of the target model (voxel units,
-        # the pipeline3d depth convention)
-        from . import oracle
-        c = camera.pixel_centers(size)
-        Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
-        filled = oracle.eval_f(_load(args.target), X, Y, Z) < 0
-        zi = np.arange(size, dtype=np.float32)[:, None, None] + 1.0
-        tgt = np.max(np.where(filled, zi, 0.0), axis=0)
+        tgt = _oracle_depth(_load(args.target), size)
     else:
-        from . import oracle
-        p = camera.pixel_centers(size)
-        X, Y = np.meshgrid(p, p)
-        tgt = (oracle.eval_f(_load(args.target), X, Y) < 0).astype(
-            np.float32)
+        tgt = _oracle_fill(_load(args.target), size).astype(np.float32)
     mesh = sharded.make_mesh()
     tgt_j = jnp.asarray(tgt)
     every = max(1, args.steps // 10)
@@ -447,20 +461,23 @@ def cmd_fit(args):
                         else state.imms)
     checkpoint.save_tape(args.out, tape, imms=fitted)
     print(f"wrote {args.out}", file=sys.stderr)
-    if args.render_out:
-        from . import oracle
+    if args.out_frep:
+        # decompile the fitted tape back to an expression and archive it
+        # — the artifact loads anywhere .frep does (our viewer/CLI, the
+        # reference's benchmarks)
+        from .frontend import frep
+        from .tape.decompile import tape_to_tree
         t2 = checkpoint.load_tape(args.out)
-        c = camera.pixel_centers(size)
+        frep.dump([frep.ArchiveShape(tree=tape_to_tree(t2), name="fitted")],
+                  args.out_frep)
+        print(f"wrote {args.out_frep}", file=sys.stderr)
+    if args.render_out:
+        t2 = checkpoint.load_tape(args.out)
         if fit3d:
-            Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
-            filled = oracle.eval_f(t2, X, Y, Z) < 0
-            zi = np.arange(size, dtype=np.float32)[:, None, None] + 1.0
-            depth = np.max(np.where(filled, zi, 0.0), axis=0)
-            _save(args.render_out, _depth_to_u8(depth, size))
+            _save(args.render_out, _depth_to_u8(_oracle_depth(t2, size),
+                                                size))
         else:
-            X, Y = np.meshgrid(c, c)
-            img = oracle.eval_f(t2, X, Y) < 0
-            _save(args.render_out, img * np.uint8(255))
+            _save(args.render_out, _oracle_fill(t2, size) * np.uint8(255))
 
 
 def main(argv=None):
@@ -558,14 +575,21 @@ def main(argv=None):
     p.add_argument("--mode", default="2d", choices=["2d", "3d"],
                    help="2d: soft fill vs a fill image; 3d: volume-"
                         "compositing soft depth vs a depth image "
-                        "(--size is the voxel grid side)")
-    p.add_argument("--size", type=int, default=256)
+                        "(--size is the voxel grid side, CUBED in "
+                        "memory — keep it small)")
+    p.add_argument("--size", type=int, default=None,
+                   help="default 256 (2d) / 32 (3d: size^3 voxels per "
+                        "gradient step)")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=None,
                    help="default 1e-2 (2d) / 3e-4 (3d: voxel-unit loss)")
     p.add_argument("--engine", default="scan",
                    choices=["scan", "unrolled"])
     p.add_argument("--out", default="fitted.npz")
+    p.add_argument("--out-frep", default="",
+                   help="also decompile the fitted tape to a .frep "
+                        "archive (loadable by the reference tools and "
+                        "the viewer)")
     p.add_argument("--render-out", default="",
                    help="also render the fitted tape (oracle) to PNG")
     p.set_defaults(fn=cmd_fit)

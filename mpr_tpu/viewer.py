@@ -29,7 +29,9 @@ the right mode once a shape stops changing.
 Script protocol (the .io directive analog, gui/examples/architecture.io):
 define ``shape`` (a Tree) or ``shapes`` (a list); optional SIZE, MODE,
 ENGINE, VIEW ((yaw, pitch, perspective) or a 4x4 matrix) give the
-initial settings.  Multi-shape scenes composite like the GUI's append mode
+initial settings.  A ``.frep`` archive can be opened directly: a
+generated editing script loads it (``_script_for_frep``), and saves
+never touch the archive.  Multi-shape scenes composite like the GUI's append mode
 (gui/tex.cu:35-147): 2D fills OR together; 3D depths take the per-pixel
 max with the winning shape's normals.
 """
@@ -161,6 +163,10 @@ class ViewerState:
         self.error = ""
         self.lock = threading.Lock()
         self.dirty = threading.Event()
+        # set when opening a .frep directly: the archive path to watch
+        # for external changes (re-render only; src stays the generated
+        # editing script)
+        self.data_path = ""
 
 
 def _eval_src(src: str, path: str = "<viewer>"):
@@ -173,7 +179,8 @@ def _eval_src(src: str, path: str = "<viewer>"):
     env.update({k: getattr(shapelib, k) for k in dir(shapelib)
                 if not k.startswith("_")})
     for k in ("x", "y", "z", "const", "minimum", "maximum", "sqrt",
-              "square", "sin", "cos", "exp", "Tree"):
+              "square", "sin", "cos", "tan", "asin", "acos", "atan",
+              "exp", "log", "neg", "abs_", "Tree"):
         if hasattr(treelib, k):
             env[k] = getattr(treelib, k)
     exec(compile(src, path, "exec"), env)
@@ -185,26 +192,31 @@ def _eval_src(src: str, path: str = "<viewer>"):
     return list(out), settings
 
 
-def _save_frep(state: "ViewerState") -> str:
-    """Serialize the current scene's shapes to ``<script-stem>.frep``
+def _save_frep(src: str, path: str, avoid: str = "") -> tuple:
+    """Serialize the script's shapes to ``<script-stem>.frep``
     (the GUI's save-shape feature, /root/reference/gui/main.cpp:394-403;
     archives round-trip through frontend/frep.py and load in the
-    reference).  Returns the written path; errors land in state.error
-    like render errors do.  Caller holds state.lock."""
+    reference).  Returns ``(written_path, error)`` with exactly one of
+    the two non-empty.  Runs the user script, so the caller must NOT
+    hold state.lock (an expensive or looping script would otherwise
+    freeze every other request and the render worker — render_scene
+    runs outside the lock for the same reason)."""
     from .frontend import frep as _frep
     try:
-        shapes_, _ = _eval_src(state.src, state.path or "<viewer>")
+        shapes_, _ = _eval_src(src, path or "<viewer>")
         if not shapes_:
             raise ValueError("script defines no shape/shapes")
-        stem = os.path.splitext(state.path)[0] if state.path else "scene"
+        stem = os.path.splitext(path)[0] if path else "scene"
         out_path = stem + ".frep"
+        if avoid and os.path.abspath(out_path) == os.path.abspath(avoid):
+            # opened-from-.frep mode: never clobber the source archive
+            out_path = stem + "_edited.frep"
         _frep.dump([s if isinstance(s, _frep.ArchiveShape)
                     else _frep.ArchiveShape(tree=s, name=f"shape{i}")
                     for i, s in enumerate(shapes_)], out_path)
-        return out_path
+        return out_path, ""
     except Exception as e:                      # report, never crash
-        state.error = f"save_frep failed: {e}"
-        return ""
+        return "", f"save_frep failed: {e}"
 
 
 def view_matrix(cam: dict, mode: str) -> np.ndarray:
@@ -328,8 +340,11 @@ def _render_worker(state: ViewerState, out=None):
 
 def _watch_worker(state: ViewerState):
     """Re-render when the script file changes on disk (external editors
-    keep working alongside the in-page one)."""
+    keep working alongside the in-page one).  When a .frep archive was
+    opened directly, its mtime is watched too — the generated script
+    re-loads the archive on every eval, so a dirty flag suffices."""
     last = None
+    last_data = None
     while True:
         try:
             m = os.stat(state.path).st_mtime
@@ -343,6 +358,15 @@ def _watch_worker(state: ViewerState):
                 last = m
         except OSError:
             pass
+        if state.data_path:
+            try:
+                m = os.stat(state.data_path).st_mtime
+                if m != last_data:
+                    if last_data is not None:
+                        state.dirty.set()
+                    last_data = m
+            except OSError:
+                pass
         time.sleep(0.4)
 
 
@@ -390,6 +414,7 @@ def make_handler(state: ViewerState):
             except ValueError:
                 req = {}
             resp = {}
+            save_frep_args = None
             with state.lock:
                 if "script" in req:
                     state.src = str(req["script"])
@@ -399,8 +424,11 @@ def make_handler(state: ViewerState):
                 if req.get("save_frep"):
                     # shape serialization, the GUI's save-to-.frep
                     # (/root/reference/gui/main.cpp:394-403); always
-                    # written NEXT TO the script (no client paths)
-                    resp["saved_frep"] = _save_frep(state)
+                    # written NEXT TO the script (no client paths).
+                    # Snapshot under the lock, execute after releasing
+                    # it — _save_frep runs the user script.
+                    save_frep_args = (state.src, state.path,
+                                      state.data_path)
                 if "mode" in req:
                     state.mode = str(req["mode"])
                 if "size" in req:
@@ -425,16 +453,48 @@ def make_handler(state: ViewerState):
                     state.cam["scale"] = float(np.clip(
                         state.cam["scale"] * float(req["zoom"]),
                         1e-3, 1e3))
+            if save_frep_args is not None:
+                out_path, err = _save_frep(*save_frep_args)
+                resp["saved_frep"] = out_path
+                if err:
+                    with state.lock:
+                        state.error = err
             state.dirty.set()
             self._send(json.dumps(resp).encode(), "application/json")
     return H
 
 
+def _script_for_frep(path: str) -> str:
+    """Synthesize an editing script for a .frep archive, so the viewer
+    opens the reference's bundled models directly (the reference GUI
+    only opens Scheme scripts; its .frep models are benchmark-only).
+    The script re-loads the archive at each eval, so external edits to
+    the .frep re-render live."""
+    from .frontend import frep
+    from .tape.tape import compile_tree
+    ss = frep.load(path)
+    uses_z = any(compile_tree(s.tree).axis_slots[2] for s in ss)
+    mode = "normals" if uses_z else "2d"
+    return (f"# generated editing view of {os.path.basename(path)}\n"
+            f"# (save writes this script next to the archive; the\n"
+            f"#  archive itself is never overwritten)\n"
+            f"from mpr_tpu.frontend.frep import load\n"
+            f"shapes = [s.tree for s in load({os.path.abspath(path)!r})]\n"
+            f"MODE = {mode!r}\n")
+
+
 def serve(path: str, port: int, out=None, host: str = "127.0.0.1"):
     state = ViewerState()
-    state.path = path
-    with open(path) as f:
-        state.src = f.read()
+    if path.endswith(".frep"):
+        # open archives directly: edit a generated script, watch the
+        # archive; in-page save targets <stem>.py, never the .frep
+        state.src = _script_for_frep(path)
+        state.data_path = path
+        state.path = os.path.splitext(path)[0] + ".py"
+    else:
+        state.path = path
+        with open(path) as f:
+            state.src = f.read()
     try:
         _, settings = _eval_src(state.src, path)
         _apply_script_settings(state, settings)
@@ -455,9 +515,13 @@ def serve(path: str, port: int, out=None, host: str = "127.0.0.1"):
 
 
 def render_script(path: str):
-    """One-shot render of a script file (CLI --out mode and tests)."""
-    with open(path) as f:
-        src = f.read()
+    """One-shot render of a script or .frep file (CLI --out mode and
+    tests)."""
+    if path.endswith(".frep"):
+        src = _script_for_frep(path)
+    else:
+        with open(path) as f:
+            src = f.read()
     state = ViewerState()
     state.path = path
     _, settings = _eval_src(src, path)
@@ -470,7 +534,8 @@ def render_script(path: str):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mpr_tpu.viewer")
-    ap.add_argument("script")
+    ap.add_argument("script", help="a Python scene script, or a .frep "
+                    "archive (opened via a generated editing script)")
     ap.add_argument("--serve", type=int, default=0, metavar="PORT")
     ap.add_argument("--host", default="127.0.0.1",
                     help="bind address (default loopback; the editor "

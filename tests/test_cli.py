@@ -109,6 +109,7 @@ def test_fit_cli(tmp_path, capsys):
     out = tmp_path / "f.npz"
     cli.main(["fit", str(a), "--target", str(b), "--size", "64",
               "--steps", "6", "--lr", "2e-1", "--out", str(out),
+              "--out-frep", str(tmp_path / "f.frep"),
               "--render-out", str(tmp_path / "f.png")])
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("step")]
@@ -116,6 +117,15 @@ def test_fit_cli(tmp_path, capsys):
     assert last < first
     t2 = checkpoint.load_tape(str(out))
     assert t2.length and (tmp_path / "f.png").exists()
+    # --out-frep: the fitted tape decompiles to a loadable archive whose
+    # shape matches the fitted checkpoint (value-exact round trip)
+    from mpr_tpu import oracle
+    from mpr_tpu.tape.tape import compile_tree
+    t3 = compile_tree(frep.load(str(tmp_path / "f.frep"))[0].tree)
+    g = np.linspace(-1, 1, 32, dtype=np.float32)
+    X, Y = np.meshgrid(g, g)
+    np.testing.assert_array_equal(oracle.eval_f(t3, X, Y),
+                                  oracle.eval_f(t2, X, Y))
 
     # same fit through the production (unrolled) evaluator
     cli.main(["fit", str(a), "--target", str(b), "--size", "64",

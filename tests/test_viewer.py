@@ -155,3 +155,21 @@ def test_render_scene_engine_toggle():
     _, st = viewer._eval_src("ENGINE = 'unrolled'\nshape = circle(0.5)")
     viewer._apply_script_settings(state, st)
     assert state.engine == "unrolled"
+
+
+def test_open_frep_directly(tmp_path):
+    """`mpr-tpu-viewer model.frep` works on archives: a generated editing
+    script loads the shapes, mode picks 2d/normals by z usage, and the
+    one-shot render path accepts the archive."""
+    from mpr_tpu.frontend import frep, shapes
+    p2 = tmp_path / "disc.frep"
+    frep.dump([frep.ArchiveShape(tree=shapes.circle(0.5))], str(p2))
+    src = viewer._script_for_frep(str(p2))
+    shapes_, st = viewer._eval_src(src)
+    assert len(shapes_) == 1 and st["mode"] == "2d"
+    img, _, _ = viewer.render_script(str(p2))
+    assert img.max() == 255
+
+    p3 = tmp_path / "ball.frep"
+    frep.dump([frep.ArchiveShape(tree=shapes.sphere(0.6))], str(p3))
+    assert "MODE = 'normals'" in viewer._script_for_frep(str(p3))
