@@ -427,3 +427,26 @@ _UNARY_CTOR.update({
     "asin": asin, "acos": acos, "atan": atan, "exp": exp, "abs": abs_,
     "log": log, "tan": tan, "recip": lambda a: Tree(CONSTANT, value=1.0) / a,
 })
+
+
+def atan2(y_, x_) -> Tree:
+    """Two-argument arctangent (lowered at compile time — see
+    lower_extended; NaN on the closed negative-x half-line)."""
+    return _binary("atan2", Tree.wrap(y_), Tree.wrap(x_))
+
+
+def pow_(a, b) -> Tree:
+    return _binary("pow", Tree.wrap(a), Tree.wrap(b))
+
+
+def nth_root(a, n) -> Tree:
+    return _binary("nth-root", Tree.wrap(a), Tree.wrap(n))
+
+
+def compare(a, b) -> Tree:
+    """sign(a-b) in {-1, 0, +1} (lowered to a clamped huge multiple)."""
+    return _binary("compare", Tree.wrap(a), Tree.wrap(b))
+
+
+def recip(a) -> Tree:
+    return _unary_fn("recip")(Tree.wrap(a))

@@ -180,7 +180,8 @@ def _eval_src(src: str, path: str = "<viewer>"):
                 if not k.startswith("_")})
     for k in ("x", "y", "z", "const", "minimum", "maximum", "sqrt",
               "square", "sin", "cos", "tan", "asin", "acos", "atan",
-              "exp", "log", "neg", "abs_", "Tree"):
+              "exp", "log", "neg", "abs_", "atan2", "pow_", "nth_root",
+              "compare", "recip", "Tree"):
         if hasattr(treelib, k):
             env[k] = getattr(treelib, k)
     exec(compile(src, path, "exec"), env)

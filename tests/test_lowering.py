@@ -115,3 +115,15 @@ def test_gradients_through_lowered_ops():
     v, dx, dy, dz = oracle.eval_d(tape, xs, zeros, zeros)
     want = 0.3 / np.cos(0.3 * xs) ** 2
     np.testing.assert_allclose(dx, want, rtol=1e-4)
+
+
+def test_public_constructors():
+    """atan2/pow_/nth_root/compare/recip are first-class DSL functions."""
+    e = (T.atan2(T.y(), T.x()) + T.recip(T.x() + 3.0)
+         + T.nth_root(abs(T.x()) + 1.0, 3) + T.compare(T.x(), T.y())
+         + T.pow_(abs(T.y()) + 0.1, 1.5))
+    got = _eval(e)
+    want = (np.arctan2(PY, PX) + 1.0 / (PX + 3.0)
+            + (np.abs(PX) + 1.0) ** (1 / 3)
+            + np.sign(PX - PY) + (np.abs(PY) + 0.1) ** 1.5)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
