@@ -127,3 +127,94 @@ def test_public_constructors():
             + (np.abs(PX) + 1.0) ** (1 / 3)
             + np.sign(PX - PY) + (np.abs(PY) + 0.1) ** 1.5)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Random-program battery: direct f64 Tree evaluation (no tape machinery at
+# all) vs the oracle on the compiled-and-lowered tape.
+# ---------------------------------------------------------------------------
+
+_DIRECT_UNARY = {
+    "square": lambda a: a * a, "sqrt": np.sqrt, "neg": np.negative,
+    "sin": np.sin, "cos": np.cos, "asin": np.arcsin, "acos": np.arccos,
+    "atan": np.arctan, "exp": np.exp, "abs": np.abs, "log": np.log,
+    "tan": np.tan, "recip": lambda a: 1.0 / a,
+}
+_DIRECT_BINARY = {
+    "add": np.add, "mul": np.multiply, "sub": np.subtract,
+    "div": np.divide, "min": np.minimum, "max": np.maximum,
+    "atan2": lambda a, b: np.arctan2(a, b), "pow": np.power,
+    "nth-root": lambda a, n: np.power(a, 1.0 / n),
+    "compare": lambda a, b: np.sign(a - b),
+}
+
+
+def _direct_eval(t, X, Y):
+    """Evaluate a Tree directly in float64 — independent ground truth."""
+    memo = {}
+    for n in t.ordered_dfs():
+        if n.op == "const":
+            v = np.float64(n.value)
+        elif n.op == "var-x":
+            v = X
+        elif n.op == "var-y":
+            v = Y
+        elif n.op == "var-z":
+            v = np.zeros_like(X)
+        elif n.op in _DIRECT_UNARY:
+            v = _DIRECT_UNARY[n.op](memo[n.lhs.id])
+        else:
+            v = _DIRECT_BINARY[n.op](memo[n.lhs.id], memo[n.rhs.id])
+        memo[n.id] = v
+    return memo[t.id]
+
+
+def _rand_ext_tree(rng, depth):
+    if depth == 0 or rng.random() < 0.2:
+        leaves = [T.x(), T.y(),
+                  T.const(float(np.round(rng.uniform(-2, 2), 3)))]
+        return leaves[rng.integers(len(leaves))]
+    a = _rand_ext_tree(rng, depth - 1)
+    r = rng.random()
+    if r < 0.45:                                   # extended ops
+        k = rng.integers(6)
+        if k == 0:
+            return T.tan(T.sin(a))                 # |arg|<=1 avoids poles
+        if k == 1:
+            return T.recip(T.square(a) + T.const(0.5))
+        if k == 2:
+            b = _rand_ext_tree(rng, depth - 1)
+            return T.atan2(a, T.square(b) + T.const(0.25))  # x>0: no seam
+        if k == 3:
+            return a ** int(rng.integers(-3, 8))
+        if k == 4:
+            return T.nth_root(abs(a) + T.const(0.1),
+                              float(rng.integers(2, 6)))
+        return T.compare(a, _rand_ext_tree(rng, depth - 1))
+    if r < 0.8:                                    # supported binaries
+        b = _rand_ext_tree(rng, depth - 1)
+        return [a + b, a - b, a * T.const(0.5) + b,
+                T.minimum(a, b), T.maximum(a, b)][rng.integers(5)]
+    return [T.sin(a), abs(a), T.sqrt(T.square(a) + T.const(0.01)),
+            T.exp(T.minimum(a, T.const(2.0)))][rng.integers(4)]
+
+
+def test_random_extended_programs():
+    """30 random programs mixing extended + supported ops: the lowered
+    compiled tape agrees with direct f64 NumPy evaluation of the tree."""
+    rng = np.random.default_rng(20260818)
+    X = rng.uniform(-1.5, 1.5, 512)
+    Y = rng.uniform(-1.5, 1.5, 512)
+    done = 0
+    while done < 30:
+        t = _rand_ext_tree(rng, 4)
+        tape = compile_tree(t)
+        if tape.length < 6:
+            continue
+        done += 1
+        want = _direct_eval(t, X, Y)
+        got = oracle.eval_f(tape, X.astype(np.float32),
+                            Y.astype(np.float32)).astype(np.float64)
+        ok = np.isfinite(want)
+        assert ok.mean() > 0.9
+        np.testing.assert_allclose(got[ok], want[ok], rtol=5e-3, atol=1e-3)
