@@ -381,6 +381,24 @@ def cmd_dump_tape(args):
           f"choices={tape.num_choices}")
 
 
+def cmd_convert(args):
+    """Convert any loadable shape source — a ``.npz`` tape checkpoint
+    (``cli fit --out``), a ``.frep`` archive, or a ``stress:N`` synthetic
+    model — into a ``.frep`` archive via the tape decompiler
+    (tape/decompile.py).  The reference has no such path: its tapes are a
+    one-way GPU upload (/root/reference/src/tape.cpp:223-227)."""
+    from .frontend import frep
+    from .io import checkpoint
+    from .tape.decompile import tape_to_tree
+    if args.file.endswith(".npz"):
+        tape = checkpoint.load_tape(args.file)
+    else:
+        tape = _load(args.file)
+    frep.dump([frep.ArchiveShape(tree=tape_to_tree(tape), name=args.name)],
+              args.out)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
 def _oracle_fill(tape, size):
     """NumPy-oracle boolean fill image (the fit target / render-out
     convention — one definition so the two can't drift apart)."""
@@ -593,6 +611,14 @@ def main(argv=None):
     p.add_argument("--render-out", default="",
                    help="also render the fitted tape (oracle) to PNG")
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("convert", help="decompile any shape source "
+                       "(.npz checkpoint / .frep / stress:N) to a .frep "
+                       "archive")
+    p.add_argument("file")
+    p.add_argument("out")
+    p.add_argument("--name", default="converted")
+    p.set_defaults(fn=cmd_convert)
 
     args = ap.parse_args(argv)
     args.fn(args)

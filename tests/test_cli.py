@@ -190,3 +190,27 @@ def test_render2d_check_failure_exits(tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         cli.main(["render2d", HELLO, "--size", "128", "--check",
                   "--out", str(tmp_path / "x.png")])
+
+
+def test_convert_cli(tmp_path, capsys):
+    """convert: stress:N -> .frep (decompiled), and .npz checkpoint ->
+    .frep; the output re-loads and matches the source via the oracle."""
+    from mpr_tpu import oracle
+    from mpr_tpu.frontend import frep
+    from mpr_tpu.io import checkpoint
+    from mpr_tpu.tape.tape import compile_tree
+    g = np.linspace(-1, 1, 48, dtype=np.float32)
+    X, Y = np.meshgrid(g, g)
+
+    out = tmp_path / "s.frep"
+    cli.main(["convert", "stress:40", str(out)])
+    t_src = cli._load("stress:40")
+    t_back = compile_tree(frep.load(str(out))[0].tree)
+    np.testing.assert_array_equal(oracle.eval_f(t_src, X, Y),
+                                  oracle.eval_f(t_back, X, Y))
+
+    npz = tmp_path / "c.npz"
+    checkpoint.save_tape(str(npz), t_src)
+    out2 = tmp_path / "c.frep"
+    cli.main(["convert", str(npz), str(out2), "--name", "stress40"])
+    assert frep.load(str(out2))[0].name == "stress40"
