@@ -1,0 +1,221 @@
+"""Scheme (.io) frontend + vector font tests.
+
+The reference evaluates its example scenes with Guile + libfive
+(/root/reference/gui/interpreter.cpp); these tests prove the native
+Scheme frontend runs the reference's own example scripts
+(/root/reference/gui/examples/*.io) end-to-end: parse -> shapes -> tape
+-> oracle render, with geometry close to the reference's exported .frep
+archives.
+"""
+
+import numpy as np
+import pytest
+
+from mpr_tpu import oracle
+from mpr_tpu.frontend import font, frep, scheme
+from mpr_tpu.frontend.scheme import SchemeError, run_string
+from mpr_tpu.frontend.tree import Tree
+from mpr_tpu.tape.tape import compile_tree
+
+EXAMPLES = "/root/reference/gui/examples"
+
+
+def _fill(tree, W=96, H=96, z=0.0, lo=-1.0, hi=1.0):
+    """Fraction of the [-1,1]^2 slice at depth z that is inside."""
+    tape = compile_tree(tree)
+    xs = np.linspace(lo, hi, W, dtype=np.float32)
+    ys = np.linspace(hi, lo, H, dtype=np.float32)
+    X, Y = np.meshgrid(xs, ys)
+    v = oracle.eval_f(tape, X.ravel(), Y.ravel(),
+                      np.full(X.size, z, np.float32))
+    return (v.reshape(H, W) < 0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# scheme core
+# ---------------------------------------------------------------------------
+
+def test_reader_and_arithmetic():
+    r = run_string("(+ 1 2 (* 3 4))")
+    assert r.shapes == []
+    assert run_string("(define v (+ 1 2)) v").env.lookup("v") == 3
+    assert run_string("(define v (/ 2))").env.lookup("v") == 0.5
+    assert run_string("(define v (/ 12 3 2))").env.lookup("v") == 2.0
+    assert run_string("(define v (- 5))").env.lookup("v") == -5
+    assert run_string("(define v (max 1 7 3))").env.lookup("v") == 7
+
+
+def test_vector_literals_and_quote():
+    env = run_string("(define v [1 (+ 1 1) 3])").env
+    assert env.lookup("v") == [1, 2, 3]
+    env = run_string("(define v '(a b))").env
+    assert [str(s) for s in env.lookup("v")] == ["a", "b"]
+
+
+def test_let_star_shadowing_and_define_function():
+    src = """
+    (define (fact n) (if (<= n 1) 1 (* n (fact (- n 1)))))
+    (define v (fact 6))
+    (define w (let* ((a 1) (a (+ a 10)) (b (* a 2))) (+ a b)))
+    """
+    env = run_string(src).env
+    assert env.lookup("v") == 720
+    assert env.lookup("w") == 33
+
+
+def test_map_iota_apply_lambda():
+    env = run_string(
+        "(define v (apply + (map (lambda (i) (* i i)) (iota 5))))").env
+    assert env.lookup("v") == 30
+    env = run_string("(define v (iota 3 10 2))").env
+    assert env.lookup("v") == [10, 12, 14]
+
+
+def test_sequence_threads_shape_through_calls():
+    # (sequence x (f a...) ...) threads the value as the FIRST argument —
+    # libfive's sequence macro semantics
+    res = run_string("""
+    (sequence (circle 0.5)
+      (move [0.25 0])
+      (difference (circle 0.2)))
+    """)
+    assert len(res.shapes) == 1
+    img = _fill(res.shapes[0])
+    # moved circle: inside at (0.6, 0), hole at (0.1, 0) (circle 0.2 at
+    # the origin), outside at (-0.5, 0)
+    tape = compile_tree(res.shapes[0])
+    v = oracle.eval_f(tape, np.float32([0.6, 0.1, -0.5]),
+                      np.float32([0.0, 0.0, 0.0]), np.float32([0, 0, 0]))
+    assert v[0] < 0 and v[1] > 0 and v[2] > 0
+    assert 0.1 < img.mean() < 0.2
+
+
+def test_lambda_shape_builds_trees():
+    res = run_string("(lambda-shape (x y z) (- (sqrt (+ (square x) "
+                     "(square y))) 0.8))")
+    assert len(res.shapes) == 1 and isinstance(res.shapes[0], Tree)
+    assert abs(_fill(res.shapes[0]).mean() - np.pi * 0.4 ** 2) < 0.02
+
+
+def test_block_comments_and_errors():
+    assert run_string("#| nested #| deep |# out |# (+ 1 2)").shapes == []
+    with pytest.raises(SchemeError, match="unbound variable"):
+        run_string("(nonexistent 1)")
+    with pytest.raises(SchemeError, match="line 2"):
+        run_string("(+ 1 1)\n(oops)")
+    with pytest.raises(SchemeError):
+        run_string("(+ 1")
+
+
+def test_directives_recorded():
+    res = run_string("(set-bounds! [-50 -50 -20] [50 50 20])"
+                     "(set-quality! 8)(set-resolution! 15)")
+    assert res.bounds == ((-50.0, -50.0, -20.0), (50.0, 50.0, 20.0))
+    assert res.quality == 8.0 and res.resolution == 15.0
+
+
+def test_shape_builtins_match_python_stdlib():
+    from mpr_tpu.frontend import shapes as py_shapes
+    res = run_string("(union (sphere 0.6) (box [-0.2 -0.2 -0.2] "
+                     "[0.9 0.2 0.2]))")
+    want = py_shapes.union(py_shapes.sphere(0.6),
+                           py_shapes.box(-0.2, 0.9, -0.2, 0.2, -0.2, 0.2))
+    # hash-consing: identical constructions are the same node
+    assert res.shapes[0] is want
+
+
+# ---------------------------------------------------------------------------
+# vector font
+# ---------------------------------------------------------------------------
+
+def test_text_basic_metrics():
+    img = _fill(font.text("o", -0.5, -0.3), lo=-1, hi=1)
+    assert img.sum() > 0
+    # empty text renders nothing
+    assert _fill(font.text(""), lo=-1, hi=1).sum() == 0
+    # newline moves the pen down: two lines span more y than one
+    one = _fill(font.text("l", -0.2, -0.2))
+    two = _fill(font.text("l\nl", -0.2, 0.2))
+    rows1 = np.where(one.any(axis=1))[0]
+    rows2 = np.where(two.any(axis=1))[0]
+    assert (rows2[-1] - rows2[0]) > 1.7 * (rows1[-1] - rows1[0])
+
+
+def test_text_all_glyphs_have_ink():
+    for ch, (width, prims) in font.GLYPHS.items():
+        img = _fill(font.text(ch, -0.4, -0.3))
+        assert img.sum() > 0, f"glyph {ch!r} rendered empty"
+        assert width > 0 and prims
+
+
+def test_text_unknown_glyph_visible():
+    img = _fill(font.text("\x7f", -0.4, -0.3))
+    assert img.sum() > 0          # missing glyphs draw a visible box
+
+
+def test_text_differentiable_tape():
+    # text compiles to a tape whose imms are a parameter vector like any
+    # other shape (the framework's differentiability contract)
+    tape = compile_tree(font.text("hi", -0.5, -0.3))
+    assert tape.length > 20
+    assert np.isfinite(tape.imms).all()
+
+
+# ---------------------------------------------------------------------------
+# the reference's own example scripts
+# ---------------------------------------------------------------------------
+
+def test_hello_world_io_matches_reference_frep():
+    res = scheme.run_file(f"{EXAMPLES}/hello_world.io")
+    assert len(res.shapes) == 1
+    mine = _fill(res.shapes[0], z=0.0)
+    ref = _fill(frep.load("/root/reference/benchmark/files/"
+                          "hello_world.frep")[0].tree, z=0.0)
+    # same scene (different font): ink fractions within 2x, overlapping
+    # extents within a few cells
+    assert 0.5 < mine.mean() / ref.mean() < 2.0
+    rm, cm = np.where(mine > 0)
+    rr, cr = np.where(ref > 0)
+    assert abs(rm.mean() - rr.mean()) < 8 and abs(cm.mean() - cr.mean()) < 8
+
+
+def test_prospero_io_authors_the_page():
+    res = scheme.run_file(f"{EXAMPLES}/prospero.io")
+    tape = compile_tree(res.shapes[0])
+    # the reference's exported prospero tape is ~6k clauses; authored
+    # text lands in the same ballpark
+    assert 3000 < tape.length < 12000
+    mine = _fill(res.shapes[0])
+    ref = _fill(frep.load("/root/reference/benchmark/files/"
+                          "prospero.frep")[0].tree)
+    assert 0.5 < mine.mean() / ref.mean() < 2.0
+
+
+def test_involute_gear_io_matches_reference_frep():
+    res = scheme.run_file(f"{EXAMPLES}/involute_gear.io")
+    assert len(res.shapes) == 1
+    mine = _fill(res.shapes[0], z=0.0)
+    ref = _fill(frep.load("/root/reference/benchmark/files/"
+                          "involute_gear_3d.frep")[0].tree, z=0.0)
+    assert 0.75 < mine.sum() / ref.sum() < 1.33
+
+
+def test_architecture_io_evaluates_with_directives():
+    res = scheme.run_file(f"{EXAMPLES}/architecture.io")
+    assert len(res.shapes) == 1
+    assert res.bounds == ((-50.0, -50.0, -20.0), (50.0, 50.0, 20.0))
+    tape = compile_tree(res.shapes[0])
+    assert tape.length > 500
+    # scene has ink in the center slice
+    assert _fill(res.shapes[0], z=0.0).sum() > 0
+
+
+def test_bear_io_is_comment_only():
+    res = scheme.run_file(f"{EXAMPLES}/bear.io")
+    assert res.shapes == []
+
+
+def test_script_determinism():
+    a = scheme.run_file(f"{EXAMPLES}/hello_world.io").shapes[0]
+    b = scheme.run_file(f"{EXAMPLES}/hello_world.io").shapes[0]
+    assert a is b                 # hash-consed: same tree node
