@@ -35,6 +35,15 @@ def _load(path: str):
         # frontend/shapes.py::stress_2d
         from .frontend import shapes as shapelib
         return compile_tree(shapelib.stress_2d(int(path.split(":", 1)[1])))
+    if path.endswith(".io"):
+        # a Scheme scene script (the reference GUI's source format,
+        # /root/reference/gui/examples/*.io) — union of all its shapes
+        from .frontend import scheme
+        from .frontend import shapes as shapelib
+        res = scheme.run_file(path)
+        if not res.shapes:
+            raise SystemExit(f"{path}: script produced no shapes")
+        return compile_tree(shapelib.union(*res.shapes))
     shapes = frep.load(path)
     return compile_tree(shapes[0].tree)
 
@@ -363,8 +372,12 @@ def cmd_tape_time(args):
     # (/root/reference/benchmark/tape_building_time.cpp:44-57)
     from .frontend import frep
     from .tape.tape import compile_tree
-    shapes = frep.load(args.file)
-    tree = shapes[0].tree
+    if args.file.endswith(".io"):
+        from .frontend import scheme
+        from .frontend import shapes as shapelib
+        tree = shapelib.union(*scheme.run_file(args.file).shapes)
+    else:
+        tree = frep.load(args.file)[0].tree
     compile_tree(tree)
     t0 = time.perf_counter()
     for _ in range(100):

@@ -169,12 +169,32 @@ class ViewerState:
         self.data_path = ""
 
 
+def _is_scheme_src(src: str) -> bool:
+    """Sniff Scheme scene scripts (the reference GUI's .io format): the
+    first meaningful character of a Scheme scene is '(' (or the whole
+    prefix is ';' comments / '#|' blocks); Python scripts never start
+    that way."""
+    for line in src.splitlines():
+        s = line.strip()
+        if not s or s.startswith(";"):
+            continue
+        return s.startswith("(") or s.startswith("#|")
+    return False
+
+
 def _eval_src(src: str, path: str = "<viewer>"):
     """Run script text with the DSL preloaded; collect shapes + settings
     (the interpreter.cpp analog — errors are raised to the caller, which
-    reports them in the page instead of crashing)."""
+    reports them in the page instead of crashing).  Scheme sources (the
+    reference's .io scripts) are dispatched to frontend/scheme.py; Python
+    sources run in the exec sandbox below."""
     from .frontend import shapes as shapelib
     from .frontend import tree as treelib
+    if path.endswith(".io") or _is_scheme_src(src):
+        from .frontend import scheme
+        res = scheme.run_string(src)
+        return list(res.shapes), {"size": None, "mode": None,
+                                  "engine": None, "view": None}
     env = {"__builtins__": __builtins__}
     env.update({k: getattr(shapelib, k) for k in dir(shapelib)
                 if not k.startswith("_")})

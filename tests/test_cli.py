@@ -214,3 +214,12 @@ def test_convert_cli(tmp_path, capsys):
     out2 = tmp_path / "c.frep"
     cli.main(["convert", str(npz), str(out2), "--name", "stress40"])
     assert frep.load(str(out2))[0].name == "stress40"
+
+
+def test_dump_tape_io_script(capsys):
+    """.io Scheme scenes plug in anywhere a .frep path goes (the
+    reference GUI's source format, /root/reference/gui/examples)."""
+    cli.main(["dump-tape", "/root/reference/gui/examples/hello_world.io",
+              "--limit", "4"])
+    out = capsys.readouterr().out
+    assert "length=" in out

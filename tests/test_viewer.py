@@ -173,3 +173,30 @@ def test_open_frep_directly(tmp_path):
     p3 = tmp_path / "ball.frep"
     frep.dump([frep.ArchiveShape(tree=shapes.sphere(0.6))], str(p3))
     assert "MODE = 'normals'" in viewer._script_for_frep(str(p3))
+
+
+IO_SCRIPT = """
+;; a Scheme scene (the reference GUI's .io format)
+(sequence (circle 0.5)
+  (move [0.2 0])
+  (difference (circle 0.2)))
+"""
+
+
+def test_eval_src_scheme_dispatch():
+    """Scheme sources are detected and evaluated by frontend/scheme.py;
+    Python sources still go through exec."""
+    shapes_, st = viewer._eval_src(IO_SCRIPT)
+    assert len(shapes_) == 1
+    assert viewer._is_scheme_src(IO_SCRIPT)
+    assert not viewer._is_scheme_src(SCRIPT)
+
+
+def test_render_scene_scheme_2d():
+    img, _ = viewer.render_scene(IO_SCRIPT,
+                                 {"yaw": 0, "pitch": 0, "persp": 0,
+                                  "scale": 1.0, "panx": 0, "pany": 0},
+                                 "2d", 128)
+    assert img.shape == (128, 128) and img.max() == 255
+    # the 0.2-radius hole at the origin is empty
+    assert img[64, 70] == 0
