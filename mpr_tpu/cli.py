@@ -394,6 +394,19 @@ def cmd_dump_tape(args):
           f"choices={tape.num_choices}")
 
 
+def cmd_mesh(args):
+    """Mesh extraction + STL export (io/mesh.py) — the geometry-export
+    step the reference's users go back to libfive for."""
+    from .io import mesh
+    tape = _load(args.file)
+    tris = mesh.mesh_tape(tape, n=args.size, lo=args.bounds[0],
+                          hi=args.bounds[1])
+    mesh.write_stl(args.out, tris)
+    print(f"mesh: {len(tris)} triangles, area {mesh.mesh_area(tris):.4f}, "
+          f"volume {mesh.mesh_volume(tris):.4f}")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
 def cmd_convert(args):
     """Convert any loadable shape source — a ``.npz`` tape checkpoint
     (``cli fit --out``), a ``.frep`` archive, or a ``stress:N`` synthetic
@@ -626,12 +639,24 @@ def main(argv=None):
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("convert", help="decompile any shape source "
-                       "(.npz checkpoint / .frep / stress:N) to a .frep "
-                       "archive")
+                       "(.npz checkpoint / .frep / .io / stress:N) to a "
+                       ".frep archive")
     p.add_argument("file")
     p.add_argument("out")
     p.add_argument("--name", default="converted")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("mesh", help="extract a watertight triangle mesh "
+                       "(marching tetrahedra over the unrolled evaluator) "
+                       "and write binary STL — geometry export beyond the "
+                       "render-only reference")
+    p.add_argument("file")
+    p.add_argument("--size", type=int, default=64,
+                   help="voxel grid resolution per axis")
+    p.add_argument("--bounds", type=float, nargs=2, default=(-1.0, 1.0),
+                   metavar=("LO", "HI"))
+    p.add_argument("--out", default="out.stl")
+    p.set_defaults(fn=cmd_mesh)
 
     args = ap.parse_args(argv)
     args.fn(args)
