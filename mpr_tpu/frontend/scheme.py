@@ -750,6 +750,72 @@ def _sh_text(txt, pos=None):
     return _font.text(str(txt), px, py)
 
 
+def _sh_array_axis(axis: int):
+    def f(s, n, d):
+        s = _as_shape(s)
+        out = s
+        delta = [0.0, 0.0, 0.0]
+        for i in range(1, int(n)):
+            delta[axis] = i * float(d)
+            out = _shapes.union(out, _shapes.move(s, *delta))
+        return out
+    return f
+
+
+def _sh_array_xy(s, nx, ny, d):
+    dx, dy = _pt2(d, "array-xy")
+    row = _sh_array_axis(0)(s, nx, dx)
+    return _sh_array_axis(1)(row, ny, dy)
+
+
+def _sh_array_polar(s, n, center=None):
+    s = _as_shape(s)
+    cx, cy = _pt2(center, "array-polar") if center is not None else (0.0,
+                                                                     0.0)
+    out = s
+    for i in range(1, int(n)):
+        r = _rot(_shapes.rotate_z)(s, 2.0 * math.pi * i / int(n),
+                                   [cx, cy, 0.0])
+        out = _shapes.union(out, r)
+    return out
+
+
+def _sh_revolve_y(s):
+    """Revolve a 2D (xy) shape about the y axis.  The radius remap
+    covers x >= 0; the union with the mirrored remap covers shapes drawn
+    on negative x, like libfive's revolve-y."""
+    s = _as_shape(s)
+    r = _tree.sqrt(_tree.square(_tree.x()) + _tree.square(_tree.z()))
+    return _shapes.union(s.remap(r, _tree.y(), _tree.z()),
+                         s.remap(-r, _tree.y(), _tree.z()))
+
+
+def _sh_loft(a, b, zmin, zmax):
+    """Linear field interpolation from shape a at zmin to shape b at
+    zmax, clipped to the slab."""
+    a, b = _as_shape(a), _as_shape(b)
+    zmin, zmax = float(zmin), float(zmax)
+    t = (_tree.z() - zmin) / (zmax - zmin)
+    t = _tree.maximum(0.0, _tree.minimum(1.0, t))
+    f = a * (1.0 - t) + b * t
+    return _shapes.intersection(f, zmin - _tree.z(), _tree.z() - zmax)
+
+
+def _sh_morph(a, b, m):
+    a, b = _as_shape(a), _as_shape(b)
+    m = float(m)
+    return a * (1.0 - m) + b * m
+
+
+def _sym(axis: int):
+    def f(s):
+        s = _as_shape(s)
+        coords = [_tree.x(), _tree.y(), _tree.z()]
+        coords[axis] = abs(coords[axis])
+        return s.remap(*coords)
+    return f
+
+
 _SHAPE_BUILTINS: Dict[str, Any] = {
     "circle": _sh_circle,
     "ring": _sh_ring,
@@ -787,6 +853,14 @@ _SHAPE_BUILTINS: Dict[str, Any] = {
     "extrude-z": _sh_extrude_z,
     "extrude": _sh_extrude_z,
     "text": _sh_text,
+    "array-x": _sh_array_axis(0), "array-y": _sh_array_axis(1),
+    "array-z": _sh_array_axis(2),
+    "array-xy": _sh_array_xy,
+    "array-polar": _sh_array_polar,
+    "revolve-y": _sh_revolve_y,
+    "loft": _sh_loft,
+    "morph": _sh_morph,
+    "symmetric-x": _sym(0), "symmetric-y": _sym(1), "symmetric-z": _sym(2),
 }
 
 

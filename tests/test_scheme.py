@@ -219,3 +219,42 @@ def test_script_determinism():
     a = scheme.run_file(f"{EXAMPLES}/hello_world.io").shapes[0]
     b = scheme.run_file(f"{EXAMPLES}/hello_world.io").shapes[0]
     assert a is b                 # hash-consed: same tree node
+
+
+def test_stdlib_arrays_and_revolve():
+    # array-x: 3 circles in a row
+    res = run_string("(array-x (circle 0.12 [-0.6 0]) 3 0.6)")
+    tape = compile_tree(res.shapes[0])
+    v = oracle.eval_f(tape, np.float32([-0.6, 0.0, 0.6, 0.3]),
+                      np.float32([0, 0, 0, 0]), np.zeros(4, np.float32))
+    assert (v[:3] < 0).all() and v[3] > 0
+    # array-polar: 4 copies at 90-degree steps
+    res = run_string("(array-polar (circle 0.1 [0.5 0]) 4)")
+    tape = compile_tree(res.shapes[0])
+    v = oracle.eval_f(tape, np.float32([0.5, 0.0, -0.5, 0.35]),
+                      np.float32([0.0, 0.5, 0.0, 0.35]),
+                      np.zeros(4, np.float32))
+    assert (v[:3] < 0).all() and v[3] > 0
+    # revolve-y of a circle at x=0.5 -> torus around the y axis
+    res = run_string("(revolve-y (circle 0.15 [0.5 0]))")
+    tape = compile_tree(res.shapes[0])
+    v = oracle.eval_f(tape, np.float32([0.5, 0.0, 0.0]),
+                      np.float32([0.0, 0.0, 0.0]),
+                      np.float32([0.0, 0.5, 0.0]))
+    assert v[0] < 0 and v[1] < 0 and v[2] > 0     # origin is the hole
+
+
+def test_stdlib_loft_and_symmetric():
+    res = run_string(
+        "(loft (circle 0.5) (circle 0.1) 0 1)")
+    tape = compile_tree(res.shapes[0])
+    # near the base the radius is ~0.5; near the top ~0.1
+    v = oracle.eval_f(tape, np.float32([0.4, 0.4, 0.05, 0.4]),
+                      np.float32([0, 0, 0, 0]),
+                      np.float32([0.05, 0.95, 0.95, 1.2]))
+    assert v[0] < 0 and v[1] > 0 and v[2] < 0 and v[3] > 0
+    res = run_string("(symmetric-x (circle 0.2 [0.5 0]))")
+    tape = compile_tree(res.shapes[0])
+    v = oracle.eval_f(tape, np.float32([0.5, -0.5, 0.0]),
+                      np.float32([0, 0, 0]), np.zeros(3, np.float32))
+    assert v[0] < 0 and v[1] < 0 and v[2] > 0
