@@ -552,7 +552,8 @@ _NUM_BUILTINS: Dict[str, Any] = {
     "expt": _expt, "pow": _expt,
     "round": lambda v: float(np.round(v)), "floor": math.floor,
     "ceiling": math.ceil, "truncate": math.trunc,
-    "modulo": lambda a, b: a % b, "remainder": math.remainder,
+    "modulo": lambda a, b: a % b,       # floor-division remainder
+    "remainder": math.fmod,             # truncated-division remainder
     "quotient": lambda a, b: int(a // b),
     "=": _cmp(lambda a, b: a == b), "<": _cmp(lambda a, b: a < b),
     ">": _cmp(lambda a, b: a > b), "<=": _cmp(lambda a, b: a <= b),
