@@ -25,27 +25,33 @@ import time
 import numpy as np
 
 
-def _load(path: str):
+def _load_tree(path: str):
+    """Shape source -> (Tree, ScriptResult-or-None).  Sources: a .frep
+    archive, a .io Scheme scene (all shapes unioned; the ScriptResult
+    carries its directives), or ``stress:N``."""
     from .frontend import frep
-    from .tape.tape import compile_tree
     if path.startswith("stress:"):
         # synthetic long-tape model, e.g. ``stress:1500`` — the working
         # analog of the reference's missing prospero_long.frep
         # (/root/reference/benchmark/tape_shortening.cpp:29); see
         # frontend/shapes.py::stress_2d
         from .frontend import shapes as shapelib
-        return compile_tree(shapelib.stress_2d(int(path.split(":", 1)[1])))
+        return shapelib.stress_2d(int(path.split(":", 1)[1])), None
     if path.endswith(".io"):
         # a Scheme scene script (the reference GUI's source format,
-        # /root/reference/gui/examples/*.io) — union of all its shapes
+        # /root/reference/gui/examples/*.io)
         from .frontend import scheme
         from .frontend import shapes as shapelib
         res = scheme.run_file(path)
         if not res.shapes:
             raise SystemExit(f"{path}: script produced no shapes")
-        return compile_tree(shapelib.union(*res.shapes))
-    shapes = frep.load(path)
-    return compile_tree(shapes[0].tree)
+        return shapelib.union(*res.shapes), res
+    return frep.load(path)[0].tree, None
+
+
+def _load(path: str):
+    from .tape.tape import compile_tree
+    return compile_tree(_load_tree(path)[0])
 
 
 def _save(path, img):
@@ -370,14 +376,8 @@ def cmd_heatmap3d(args):
 def cmd_tape_time(args):
     # mean tape construction time over 100 builds
     # (/root/reference/benchmark/tape_building_time.cpp:44-57)
-    from .frontend import frep
     from .tape.tape import compile_tree
-    if args.file.endswith(".io"):
-        from .frontend import scheme
-        from .frontend import shapes as shapelib
-        tree = shapelib.union(*scheme.run_file(args.file).shapes)
-    else:
-        tree = frep.load(args.file)[0].tree
+    tree, _ = _load_tree(args.file)
     compile_tree(tree)
     t0 = time.perf_counter()
     for _ in range(100):
@@ -398,9 +398,18 @@ def cmd_mesh(args):
     """Mesh extraction + STL export (io/mesh.py) — the geometry-export
     step the reference's users go back to libfive for."""
     from .io import mesh
-    tape = _load(args.file)
-    tris = mesh.mesh_tape(tape, n=args.size, lo=args.bounds[0],
-                          hi=args.bounds[1])
+    from .tape.tape import compile_tree
+    tree, script = _load_tree(args.file)
+    lo, hi = args.bounds
+    if (args.bounds == (-1.0, 1.0) and script is not None
+            and script.bounds is not None):
+        # honor the scene's (set-bounds! lo hi) when the user didn't
+        # pass --bounds (per-axis; the box need not be a cube)
+        lo = np.asarray(script.bounds[0], np.float32)
+        hi = np.asarray(script.bounds[1], np.float32)
+        print(f"using script bounds {script.bounds}", file=sys.stderr)
+    tape = compile_tree(tree)
+    tris = mesh.mesh_tape(tape, n=args.size, lo=lo, hi=hi)
     mesh.write_stl(args.out, tris)
     print(f"mesh: {len(tris)} triangles, area {mesh.mesh_area(tris):.4f}, "
           f"volume {mesh.mesh_volume(tris):.4f}")

@@ -23,8 +23,12 @@ Covered surface (everything the bundled examples use, plus basics):
   ``box``, ``scale-xyz``, ``reflect-xy``, ``extrude-z``, ``text``, ...)
   with libfive call signatures (vectors for points, optional centers);
 * scene directives ``set-bounds!`` / ``set-quality!`` / ``set-resolution!``
-  (recorded on the result like the reference GUI does,
-  ``/root/reference/gui/examples/architecture.io:1-3``).
+  recorded on the result.  These are libfive-Studio meshing directives:
+  the reference GUI tolerates and ignores them
+  (``/root/reference/gui/examples/architecture.io:1-3`` vs
+  ``gui/main.cpp``, which never reads them); here the viewer likewise
+  ignores them, and ``cli mesh`` honors ``set-bounds!`` as its sampling
+  box.
 
 Evaluating a script returns a :class:`ScriptResult`: every top-level
 expression that evaluates to a shape is collected, mirroring the reference
@@ -328,6 +332,14 @@ def _eval(form, env: Env):
     hname = str(head) if isinstance(head, Symbol) else None
 
     # -- special forms ------------------------------------------------------
+    if hname in ("quote", "define", "set!", "lambda", "let", "let*",
+                 "letrec", "sequence", "lambda-shape", "define-shape"):
+        # arity floor so malformed forms report a positioned SchemeError
+        # (like every other script error) instead of a raw IndexError
+        need = {"set!": 3, "lambda": 3, "let": 3, "let*": 3, "letrec": 3,
+                "lambda-shape": 3, "define-shape": 3}.get(hname, 2)
+        if len(form) < need:
+            raise SchemeError(f"{hname}: missing arguments", _pos(form))
     if hname == "quote":
         return form[1]
     if hname == "if":
@@ -341,11 +353,16 @@ def _eval(form, env: Env):
         for clause in form[1:]:
             if not isinstance(clause, list) or not clause:
                 raise SchemeError("cond: bad clause", _pos(form))
-            if str(clause[0]) == "else" or _eval(clause[0], env) is not False:
+            if str(clause[0]) == "else":
                 out = None
-                for f in clause[1:]:
-                    out = _eval(f, env)
-                return out
+            else:
+                out = _eval(clause[0], env)
+                if out is False:
+                    continue
+            # a test-only clause, (cond (x)), returns the test's value
+            for f in clause[1:]:
+                out = _eval(f, env)
+            return out
         return None
     if hname == "define":
         target = form[1]
@@ -554,7 +571,7 @@ _NUM_BUILTINS: Dict[str, Any] = {
     "ceiling": math.ceil, "truncate": math.trunc,
     "modulo": lambda a, b: a % b,       # floor-division remainder
     "remainder": math.fmod,             # truncated-division remainder
-    "quotient": lambda a, b: int(a // b),
+    "quotient": lambda a, b: math.trunc(a / b),   # truncated division
     "=": _cmp(lambda a, b: a == b), "<": _cmp(lambda a, b: a < b),
     ">": _cmp(lambda a, b: a > b), "<=": _cmp(lambda a, b: a <= b),
     ">=": _cmp(lambda a, b: a >= b),

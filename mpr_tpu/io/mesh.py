@@ -46,7 +46,9 @@ _CORNER = np.array([(x, y, z) for z in (0, 1) for y in (0, 1)
 def _eval_grid(tape: Tape, n: int, lo, hi, chunk_rows: int = 8,
                use_jax: Optional[bool] = None) -> np.ndarray:
     """Sample the tape's float field on an (n+1)^3 corner grid over the
-    box [lo, hi]^3 (per-axis bounds allowed)."""
+    box [lo, hi]^3 (per-axis bounds allowed).  The jitted evaluation
+    batches ``chunk_rows`` z-planes per call (one fixed-shape executable,
+    few dispatches)."""
     lo = np.broadcast_to(np.asarray(lo, np.float32), (3,))
     hi = np.broadcast_to(np.asarray(hi, np.float32), (3,))
     axes = [np.linspace(lo[i], hi[i], n + 1, dtype=np.float32)
@@ -54,30 +56,47 @@ def _eval_grid(tape: Tape, n: int, lo, hi, chunk_rows: int = 8,
     if use_jax is None:
         use_jax = tape.length > 256 or n >= 64
     vals = np.empty((n + 1, n + 1, n + 1), np.float32)
+    Y, X = np.meshgrid(axes[1], axes[0], indexing="ij")
     if use_jax:
         import jax
         import jax.numpy as jnp
 
         from ..ops import unrolled_eval as ue
-        f = jax.jit(ue.build_float(tape))
-        Y, X = np.meshgrid(axes[1], axes[0], indexing="ij")
+        f0 = ue.build_float(tape)
+        f = jax.jit(lambda xs, ys, zs: f0(
+            jnp.tile(xs, zs.shape[0]), jnp.tile(ys, zs.shape[0]),
+            jnp.repeat(zs, xs.shape[0])))
         xs = jnp.asarray(X.ravel())
         ys = jnp.asarray(Y.ravel())
         for z0 in range(0, n + 1, chunk_rows):
             z1 = min(z0 + chunk_rows, n + 1)
-            for k in range(z0, z1):
-                vals[k] = np.asarray(
-                    f(xs, ys, jnp.full_like(xs, axes[2][k]))).reshape(
-                        n + 1, n + 1)
+            zs = axes[2][z0:z1]
+            if zs.shape[0] != chunk_rows:       # ragged tail: pad, trim
+                zs = np.pad(zs, (0, chunk_rows - zs.shape[0]))
+            out = np.asarray(f(xs, ys, jnp.asarray(zs))).reshape(
+                chunk_rows, n + 1, n + 1)
+            vals[z0:z1] = out[:z1 - z0]
     else:
         from .. import oracle
-        Y, X = np.meshgrid(axes[1], axes[0], indexing="ij")
         for k in range(n + 1):
             vals[k] = oracle.eval_f(
                 tape, X.ravel(), Y.ravel(),
                 np.full(X.size, axes[2][k], np.float32)).reshape(
                     n + 1, n + 1)
     return vals
+
+
+def _close_boundary(vals: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    """Clamp the grid's boundary-face corners to >= +eps so shapes that
+    cross the sampling box get capped at its faces — the mesh stays
+    closed (watertight) instead of silently open with a wrong volume."""
+    v = vals.copy()
+    for axis in range(3):
+        sl = [slice(None)] * 3
+        for face in (0, -1):
+            sl[axis] = face
+            v[tuple(sl)] = np.maximum(v[tuple(sl)], eps)
+    return v
 
 
 def _edge_point(pa, pb, va, vb):
@@ -162,10 +181,16 @@ def marching_tets(vals: np.ndarray, lo, hi) -> np.ndarray:
 
 
 def mesh_tape(tape: Tape, n: int = 64, lo=-1.0, hi=1.0,
-              use_jax: Optional[bool] = None) -> np.ndarray:
+              use_jax: Optional[bool] = None,
+              close_boundary: bool = True) -> np.ndarray:
     """Extract an outward-oriented triangle soup (T, 3, 3) for the
-    tape's zero isosurface over the box [lo, hi]^3."""
+    tape's zero isosurface over the box [lo, hi]^3.  With
+    ``close_boundary`` (default) shapes crossing the box are capped at
+    its faces so the mesh stays watertight; pass False for the raw
+    (possibly open) isosurface."""
     vals = _eval_grid(tape, n, lo, hi, use_jax=use_jax)
+    if close_boundary:
+        vals = _close_boundary(vals)
     return marching_tets(vals, lo, hi)
 
 

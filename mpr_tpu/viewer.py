@@ -190,7 +190,8 @@ def _eval_src(src: str, path: str = "<viewer>"):
     sources run in the exec sandbox below."""
     from .frontend import shapes as shapelib
     from .frontend import tree as treelib
-    if path.endswith(".io") or _is_scheme_src(src):
+    if path.endswith(".io") or (not path.endswith(".py")
+                                and _is_scheme_src(src)):
         from .frontend import scheme
         res = scheme.run_string(src)
         return list(res.shapes), {"size": None, "mode": None,
@@ -262,11 +263,14 @@ def view_matrix(cam: dict, mode: str) -> np.ndarray:
 
 
 def render_scene(src: str, cam: dict, mode: str, size: int,
-                 engine: str = "interp"):
+                 engine: str = "interp", path: str = "<viewer>"):
     """Render script text under the given camera; returns (rgb u8, ms).
 
     ``engine``: "interp" (no per-shape compile — editing) or "unrolled"
-    (per-shape XLA compile on first use, faster frames — orbiting)."""
+    (per-shape XLA compile on first use, faster frames — orbiting).
+    ``path``: the backing file, if any — a ``.io``/``.py`` suffix decides
+    the Scheme-vs-Python dispatch deterministically (content sniffing is
+    only the fallback for pathless editor buffers)."""
     from .render import effects
     from .tape.tape import compile_tree
     if engine == "unrolled":
@@ -276,7 +280,7 @@ def render_scene(src: str, cam: dict, mode: str, size: int,
         from .render.pipeline2d import render2d
         from .render.pipeline3d import render3d
 
-    shapes, _ = _eval_src(src)
+    shapes, _ = _eval_src(src, path)
     if not shapes:
         raise ValueError("script defines no `shape` or `shapes`")
     mat = view_matrix(cam, mode)
@@ -342,8 +346,9 @@ def _render_worker(state: ViewerState, out=None):
         with state.lock:
             src, cam = state.src, dict(state.cam)
             mode, size, engine = state.mode, state.size, state.engine
+            path = state.path or "<viewer>"
         try:
-            img, ms = render_scene(src, cam, mode, size, engine)
+            img, ms = render_scene(src, cam, mode, size, engine, path)
             png = _png_bytes(img)
             err = ""
         except Exception as e:  # script errors show in the page
@@ -548,7 +553,7 @@ def render_script(path: str):
     _, settings = _eval_src(src, path)
     _apply_script_settings(state, settings)
     img, ms = render_scene(src, state.cam, state.mode, state.size,
-                           state.engine)
+                           state.engine, path)
     return img, {"mode": state.mode, "size": state.size,
                  "engine": state.engine}, ms
 

@@ -89,3 +89,31 @@ def test_jax_and_oracle_grids_agree():
     a = mesh._eval_grid(tape, 12, -1.0, 1.0, use_jax=False)
     b = mesh._eval_grid(tape, 12, -1.0, 1.0, use_jax=True)
     np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+
+def test_boundary_crossing_shape_stays_watertight():
+    # a sphere larger than the box: capped at the box faces, closed,
+    # volume = the intersection of sphere and box
+    tape = compile_tree(shapes.sphere(1.4))
+    tris = mesh.mesh_tape(tape, n=24, use_jax=False)
+    assert mesh.is_watertight(tris)
+    vol = mesh.mesh_volume(tris)
+    # the sphere r=1.4 covers most of the [-1,1]^3 box (volume 8) except
+    # the corners; exact V = 8 - corner cuts ~ 7.3; just bracket it
+    assert 6.5 < vol < 8.0
+    # raw isosurface (close_boundary=False) is open
+    raw = mesh.mesh_tape(tape, n=24, use_jax=False, close_boundary=False)
+    assert not mesh.is_watertight(raw) or len(raw) == 0
+
+
+def test_mesh_cli_io_bounds(tmp_path, capsys):
+    from mpr_tpu import cli
+    scene = tmp_path / "big.io"
+    scene.write_text("(set-bounds! [-4 -4 -4] [4 4 4])\n(sphere 3)\n")
+    out = str(tmp_path / "big.stl")
+    cli.main(["mesh", str(scene), "--size", "16", "--out", out])
+    txt = capsys.readouterr().out
+    tris = mesh.read_stl(out)
+    vol = mesh.mesh_volume(tris)
+    want = 4.0 / 3.0 * np.pi * 27.0
+    assert abs(vol - want) / want < 0.1     # bounds honored -> real volume

@@ -258,3 +258,22 @@ def test_stdlib_loft_and_symmetric():
     v = oracle.eval_f(tape, np.float32([0.5, -0.5, 0.0]),
                       np.float32([0, 0, 0]), np.zeros(3, np.float32))
     assert v[0] < 0 and v[1] < 0 and v[2] > 0
+
+
+def test_quotient_remainder_truncated_semantics():
+    env = run_string("(define q (quotient -7 2))(define r (remainder -7 2))"
+                     "(define m (modulo -7 2))").env
+    assert env.lookup("q") == -3 and env.lookup("r") == -1.0
+    assert env.lookup("m") == 1
+
+
+def test_cond_test_only_clause_returns_value():
+    env = run_string("(define v (cond (#f 1) (5)))").env
+    assert env.lookup("v") == 5
+
+
+def test_malformed_special_forms_report_position():
+    for src in ("(define)", "(quote)", "(set! x)", "(lambda)",
+                "(let ((a 1)))", "(lambda-shape (x y z))"):
+        with pytest.raises(SchemeError, match="line 1"):
+            run_string(src)
