@@ -57,6 +57,7 @@ _PAGE = b"""<!doctype html>
     <button id=run>Run (Ctrl-Enter)</button>
     <button id=save>Save</button>
     <button id=savef title="serialize the scene's shapes to a .frep archive next to the script">.frep</button>
+    <button id=savestl title="mesh the scene (marching tetrahedra) and write an STL next to the script">.stl</button>
     <select id=mode>
       <option>2d</option><option>heightmap</option><option>normals</option>
       <option>ssao</option><option selected>shaded</option>
@@ -128,6 +129,7 @@ fetch('/script').then(r => r.text()).then(t => { el('src').value = t; tick(); })
 el('run').onclick = () => post({script: el('src').value});
 el('save').onclick = () => post({script: el('src').value, save: true});
 el('savef').onclick = () => post({script: el('src').value, save_frep: true});
+el('savestl').onclick = () => post({script: el('src').value, save_stl: true});
 el('src').onkeydown = e => {
   if (e.ctrlKey && e.key === 'Enter') { e.preventDefault(); el('run').click(); }
 };
@@ -193,8 +195,16 @@ def _eval_src(src: str, path: str = "<viewer>"):
     if path.endswith(".io") or (not path.endswith(".py")
                                 and _is_scheme_src(src)):
         from .frontend import scheme
+        from .frontend.tree import VAR_Z
         res = scheme.run_string(src)
-        return list(res.shapes), {"size": None, "mode": None,
+        # a scene that never references z is 2D (prospero.io): default
+        # the mode accordingly; 3D scenes keep the state's mode
+        mode = None
+        if res.shapes and all(
+                not any(n.op == VAR_Z for n in s.ordered_dfs())
+                for s in res.shapes):
+            mode = "2d"
+        return list(res.shapes), {"size": None, "mode": mode,
                                   "engine": None, "view": None}
     env = {"__builtins__": __builtins__}
     env.update({k: getattr(shapelib, k) for k in dir(shapelib)
@@ -239,6 +249,28 @@ def _save_frep(src: str, path: str, avoid: str = "") -> tuple:
         return out_path, ""
     except Exception as e:                      # report, never crash
         return "", f"save_frep failed: {e}"
+
+
+def _save_stl(src: str, path: str, size: int = 96) -> tuple:
+    """Mesh the scene (union of its shapes) over [-1,1]^3 and write
+    ``<script-stem>.stl`` (io/mesh.py) — the export-for-printing step;
+    same locking contract as _save_frep.  Returns (written_path, error)."""
+    from .frontend import shapes as shapelib
+    from .io import mesh as _mesh
+    from .tape.tape import compile_tree
+    try:
+        shapes_, _ = _eval_src(src, path or "<viewer>")
+        if not shapes_:
+            raise ValueError("script defines no shape/shapes")
+        tape = compile_tree(shapelib.union(*shapes_))
+        tris = _mesh.mesh_tape(tape, n=size)
+        if not len(tris):
+            raise ValueError("no surface inside [-1,1]^3")
+        out_path = (os.path.splitext(path)[0] if path else "scene") + ".stl"
+        _mesh.write_stl(out_path, tris)
+        return out_path, ""
+    except Exception as e:                      # report, never crash
+        return "", f"save_stl failed: {e}"
 
 
 def view_matrix(cam: dict, mode: str) -> np.ndarray:
@@ -441,6 +473,7 @@ def make_handler(state: ViewerState):
                 req = {}
             resp = {}
             save_frep_args = None
+            save_stl_args = None
             with state.lock:
                 if "script" in req:
                     state.src = str(req["script"])
@@ -455,6 +488,8 @@ def make_handler(state: ViewerState):
                     # it — _save_frep runs the user script.
                     save_frep_args = (state.src, state.path,
                                       state.data_path)
+                if req.get("save_stl"):
+                    save_stl_args = (state.src, state.path)
                 if "mode" in req:
                     state.mode = str(req["mode"])
                 if "size" in req:
@@ -482,6 +517,12 @@ def make_handler(state: ViewerState):
             if save_frep_args is not None:
                 out_path, err = _save_frep(*save_frep_args)
                 resp["saved_frep"] = out_path
+                if err:
+                    with state.lock:
+                        state.error = err
+            if save_stl_args is not None:
+                out_path, err = _save_stl(*save_stl_args)
+                resp["saved_stl"] = out_path
                 if err:
                     with state.lock:
                         state.error = err

@@ -83,3 +83,16 @@ def test_pipeline_fully_filled_and_empty():
     tape2 = compile_tree(shapes.circle(0.9, 9.0, 9.0))
     img2 = pipeline2d.render2d(tape2, size=128)
     assert not img2.any()
+
+
+def test_authored_io_scene_pipeline_exact():
+    """A Scheme-authored scene (vector-font text, frontend/scheme.py +
+    font.py) through the real staged pipeline matches the oracle exactly
+    — the new tape family (capsule/arc strokes) exercises the same
+    culling/shortening path as the reference's exported models."""
+    from mpr_tpu.frontend import scheme
+    res = scheme.run_file("/root/reference/gui/examples/hello_world.io")
+    tape = compile_tree(res.shapes[0])
+    img = pipeline2d.render2d(tape, size=128)
+    want = oracle_image(tape, 128)
+    assert np.array_equal(img, want), f"{(img != want).sum()} pixels differ"

@@ -200,3 +200,22 @@ def test_render_scene_scheme_2d():
     assert img.shape == (128, 128) and img.max() == 255
     # the 0.2-radius hole at the origin is empty
     assert img[64, 70] == 0
+
+
+def test_scheme_scene_auto_2d_mode():
+    shapes_, st = viewer._eval_src("(circle 0.4)")
+    assert st["mode"] == "2d"
+    shapes_, st = viewer._eval_src("(sphere 0.4)")
+    assert st["mode"] is None          # 3D scene keeps the default
+
+
+def test_save_stl(tmp_path):
+    path = str(tmp_path / "scene.io")
+    out, err = viewer._save_stl("(sphere 0.5)", path, size=16)
+    assert err == "" and out.endswith(".stl")
+    from mpr_tpu.io import mesh
+    tris = mesh.read_stl(out)
+    assert mesh.mesh_volume(tris) > 0.3
+    # errors are reported, not raised
+    out, err = viewer._save_stl("(circle", path)
+    assert out == "" and "save_stl failed" in err
