@@ -47,6 +47,10 @@ run python -m mpr_tpu.cli shorten-stats "$FILES/prospero.frep"
 # stand-in, frontend/shapes.py::stress_2d)
 run python -m mpr_tpu.cli shorten-stats stress:1500
 run python -m mpr_tpu.cli tape-time "$FILES/prospero.frep"
+# the same scene AUTHORED from the reference's .io script through the
+# native Scheme frontend + vector font (frontend/scheme.py, font.py):
+# exactness vs oracle at a small size documents the authoring path
+run python -m mpr_tpu.cli render2d /root/reference/gui/examples/hello_world.io --size 256 --check --out "$OUT/hello_world_io.png"
 run python bench.py
 run python benchmarks/scaling_curve.py
 
