@@ -409,8 +409,12 @@ def cmd_mesh(args):
         hi = np.asarray(script.bounds[1], np.float32)
         print(f"using script bounds {script.bounds}", file=sys.stderr)
     tape = compile_tree(tree)
-    tris = mesh.mesh_tape(tape, n=args.size, lo=lo, hi=hi)
-    mesh.write_stl(args.out, tris)
+    tris = mesh.mesh_tape(tape, n=args.size, lo=lo, hi=hi,
+                          method=args.method)
+    if args.out.endswith(".obj"):
+        mesh.write_obj(args.out, tris)
+    else:
+        mesh.write_stl(args.out, tris)
     print(f"mesh: {len(tris)} triangles, area {mesh.mesh_area(tris):.4f}, "
           f"volume {mesh.mesh_volume(tris):.4f}")
     print(f"wrote {args.out}", file=sys.stderr)
@@ -664,7 +668,11 @@ def main(argv=None):
                    help="voxel grid resolution per axis")
     p.add_argument("--bounds", type=float, nargs=2, default=(-1.0, 1.0),
                    metavar=("LO", "HI"))
-    p.add_argument("--out", default="out.stl")
+    p.add_argument("--method", default="mt", choices=("mt", "dc"),
+                   help="mt: marching tetrahedra (robust); dc: dual "
+                   "contouring (sharp edges via Deriv-evaluator normals)")
+    p.add_argument("--out", default="out.stl",
+                   help=".stl (binary) or .obj (welded vertices)")
     p.set_defaults(fn=cmd_mesh)
 
     args = ap.parse_args(argv)

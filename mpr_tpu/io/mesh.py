@@ -180,17 +180,178 @@ def marching_tets(vals: np.ndarray, lo, hi) -> np.ndarray:
     return out * scale[None, None] + lo[None, None]
 
 
+def _eval_normals(tape: Tape, pts: np.ndarray,
+                  use_jax: Optional[bool] = None) -> np.ndarray:
+    """Unit surface normals (gradient direction) at (k, 3) points via
+    the forward-mode Deriv evaluator (the same AD the renderer's normal
+    pass uses, ops/unrolled_eval.py::build_deriv)."""
+    if use_jax is None:
+        use_jax = tape.length > 256 or pts.shape[0] > 65536
+    if use_jax and pts.shape[0]:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import unrolled_eval as ue
+        fd = jax.jit(ue.build_deriv(tape))
+        # pad to a bucket so repeated meshing reuses the executable
+        k = pts.shape[0]
+        cap = 1 << max(10, (k - 1).bit_length())
+        pp = np.zeros((cap, 3), np.float32)
+        pp[:k] = pts
+        _, dx, dy, dz = fd(jnp.asarray(pp[:, 0]), jnp.asarray(pp[:, 1]),
+                           jnp.asarray(pp[:, 2]))
+        g = np.stack([np.asarray(dx)[:k], np.asarray(dy)[:k],
+                      np.asarray(dz)[:k]], 1)
+    else:
+        from .. import oracle
+        _, gx, gy, gz = oracle.eval_d(tape, pts[:, 0], pts[:, 1],
+                                      pts[:, 2])
+        g = np.stack([gx, gy, gz], 1)
+    ln = np.linalg.norm(g, axis=1, keepdims=True)
+    return np.where(ln > 1e-12, g / np.maximum(ln, 1e-12), 0.0).astype(
+        np.float32)
+
+
+def dual_contour(tape: Tape, vals: np.ndarray, lo, hi,
+                 use_jax: Optional[bool] = None,
+                 reg: float = 1e-3) -> np.ndarray:
+    """Uniform-grid dual contouring: one QEF-placed vertex per surface
+    cell (Hermite normals from the Deriv evaluator), one quad per
+    sign-changing interior edge.  Reproduces sharp features (box edges,
+    CSG creases) that marching tetrahedra rounds off; watertight because
+    every crossing edge (with the boundary capped by the caller) has
+    exactly 4 in-range adjacent cells, each contributing its vertex to
+    the edge's quad.  ``reg``: Tikhonov pull of each QEF vertex toward
+    its cell's crossing mass point (stabilizes flat faces)."""
+    n = vals.shape[0] - 1
+    lo = np.broadcast_to(np.asarray(lo, np.float32), (3,))
+    hi = np.broadcast_to(np.asarray(hi, np.float32), (3,))
+    scale = (hi - lo) / n
+    ncell = n * n * n
+
+    def cell_id(ix, iy, iz):
+        return (iz * n + iy) * n + ix
+
+    A = np.zeros((ncell, 3, 3), np.float64)
+    b = np.zeros((ncell, 3), np.float64)
+    msum = np.zeros((ncell, 3), np.float64)
+    mcnt = np.zeros((ncell,), np.int32)
+
+    quads = []          # (cells q0..q3 ids) per crossing edge, oriented
+    # transverse axes per edge axis, ordered so (a, u, w) is right-handed
+    TRANS = {0: (1, 2), 1: (2, 0), 2: (0, 1)}
+
+    for a in range(3):
+        # axis a maps to vals dim: x->2, y->1, z->0 (vals is [z, y, x])
+        dim = 2 - a
+        sl0 = [slice(None)] * 3
+        sl1 = [slice(None)] * 3
+        sl0[dim] = slice(0, n)
+        sl1[dim] = slice(1, n + 1)
+        v0 = vals[tuple(sl0)]
+        v1 = vals[tuple(sl1)]
+        cross = (v0 < 0) != (v1 < 0)
+        if not cross.any():
+            continue
+        zz, yy, xx = np.nonzero(cross)          # indices in [z, y, x] dims
+        idx = np.stack([xx, yy, zz], 1)         # corner (x, y, z) of low end
+        va = v0[zz, yy, xx]
+        vb = v1[zz, yy, xx]
+        t = va / (va - vb)
+        p = idx.astype(np.float32)
+        p[:, a] += t
+        pw = p * scale[None] + lo[None]
+        nrm = _eval_normals(tape, pw, use_jax=use_jax)
+        # crossings produced by the caller's boundary capping lie ON a
+        # box face; geometrically the cap face IS the surface there, so
+        # use the outward face normal instead of the shape's gradient
+        # (which points through the face and would drive the QEF vertex
+        # outside its cell — measured as non-manifold duplicates on the
+        # cap ring otherwise)
+        at_lo = (idx[:, a] == 0) & (t < 1e-3)
+        at_hi = (idx[:, a] == n - 1) & (t > 1.0 - 1e-3)
+        face_n = np.zeros((1, 3), np.float32)
+        face_n[0, a] = 1.0
+        nrm = np.where(at_hi[:, None], face_n, nrm)
+        nrm = np.where(at_lo[:, None], -face_n, nrm)
+
+        u, w = TRANS[a]
+        # 4 adjacent cells at transverse offsets, CCW around +a
+        offs = ((-1, -1), (0, -1), (0, 0), (-1, 0))
+        cids = []
+        for du, dw in offs:
+            ci = idx.copy()
+            ci[:, u] += du
+            ci[:, w] += dw
+            # the a coordinate of the cell equals the low corner's
+            cids.append(cell_id(ci[:, 0], ci[:, 1], ci[:, 2]))
+        cids = np.stack(cids, 1)                # (E, 4)
+        ok = np.ones(len(idx), bool)
+        # in-range check (crossings on boundary faces are prevented by
+        # the caller's boundary capping, but guard anyway)
+        for j, (du, dw) in enumerate(offs):
+            cu = idx[:, u] + du
+            cw = idx[:, w] + dw
+            ok &= (cu >= 0) & (cu < n) & (cw >= 0) & (cw < n)
+        ok &= idx[:, a] < n
+        cids, pj, nj = cids[ok], p[ok], nrm[ok]
+        inside_low = (va < 0)[ok]
+        # QEF accumulation into each adjacent cell
+        nnT = nj[:, :, None] * nj[:, None, :]                # (E,3,3)
+        nd = (nj * pj).sum(1)[:, None] * nj                  # (E,3)
+        for j in range(4):
+            np.add.at(A, cids[:, j], nnT)
+            np.add.at(b, cids[:, j], nd)
+            np.add.at(msum, cids[:, j], pj)
+            np.add.at(mcnt, cids[:, j], 1)
+        # quad orientation: +a normal when the low end is inside
+        q = np.where(inside_low[:, None], cids, cids[:, ::-1])
+        quads.append(q)
+
+    if not quads:
+        return np.zeros((0, 3, 3), np.float32)
+    quads = np.concatenate(quads, 0)
+
+    surf = mcnt > 0
+    ids = np.nonzero(surf)[0]
+    mass = msum[ids] / mcnt[ids, None]
+    Ar = A[ids] + reg * np.eye(3)[None]
+    br = b[ids] + reg * mass
+    vtx = np.linalg.solve(Ar, br[..., None])[..., 0]
+    # clamp each vertex into its cell (QEF can shoot out on flat data)
+    cx = ids % n
+    cy = (ids // n) % n
+    cz = ids // (n * n)
+    cmin = np.stack([cx, cy, cz], 1).astype(np.float32)
+    vtx = np.clip(vtx, cmin, cmin + 1.0)
+    vert_of = np.full(ncell, -1, np.int64)
+    vert_of[ids] = np.arange(len(ids))
+    vworld = vtx * scale[None] + lo[None]
+
+    qv = vworld[vert_of[quads]]                              # (Q, 4, 3)
+    tris = np.concatenate([qv[:, (0, 1, 2)], qv[:, (0, 2, 3)]], 0)
+    return tris.astype(np.float32)
+
+
 def mesh_tape(tape: Tape, n: int = 64, lo=-1.0, hi=1.0,
               use_jax: Optional[bool] = None,
-              close_boundary: bool = True) -> np.ndarray:
+              close_boundary: bool = True,
+              method: str = "mt") -> np.ndarray:
     """Extract an outward-oriented triangle soup (T, 3, 3) for the
-    tape's zero isosurface over the box [lo, hi]^3.  With
-    ``close_boundary`` (default) shapes crossing the box are capped at
-    its faces so the mesh stays watertight; pass False for the raw
-    (possibly open) isosurface."""
+    tape's zero isosurface over the box [lo, hi]^3.
+
+    ``method``: ``"mt"`` (marching tetrahedra — robust default) or
+    ``"dc"`` (dual contouring — QEF vertices from Deriv-evaluator
+    normals reproduce sharp edges).  With ``close_boundary`` (default)
+    shapes crossing the box are capped at its faces so the mesh stays
+    watertight; pass False for the raw (possibly open) isosurface."""
     vals = _eval_grid(tape, n, lo, hi, use_jax=use_jax)
     if close_boundary:
         vals = _close_boundary(vals)
+    if method == "dc":
+        return dual_contour(tape, vals, lo, hi, use_jax=use_jax)
+    if method != "mt":
+        raise ValueError(f"unknown mesh method {method!r}")
     return marching_tets(vals, lo, hi)
 
 
@@ -209,6 +370,20 @@ def write_stl(path: str, tris: np.ndarray) -> None:
         rec[:, :48] = body.reshape(len(tris), 48 // 4).view(np.uint8).reshape(
             len(tris), 48)
         f.write(rec.tobytes())
+
+
+def write_obj(path: str, tris: np.ndarray, decimals: int = 6) -> None:
+    """Wavefront OBJ with welded (indexed) vertices — the text-format
+    sibling of write_stl, friendlier to mesh tooling."""
+    q = np.round(np.asarray(tris, np.float32), decimals)
+    verts, inv = np.unique(q.reshape(-1, 3), axis=0, return_inverse=True)
+    faces = inv.reshape(-1, 3) + 1              # OBJ is 1-indexed
+    with open(path, "w") as f:
+        f.write("# mpr_tpu mesh\n")
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for a, b, c in faces:
+            f.write(f"f {a} {b} {c}\n")
 
 
 def read_stl(path: str) -> np.ndarray:

@@ -117,3 +117,57 @@ def test_mesh_cli_io_bounds(tmp_path, capsys):
     vol = mesh.mesh_volume(tris)
     want = 4.0 / 3.0 * np.pi * 27.0
     assert abs(vol - want) / want < 0.1     # bounds honored -> real volume
+
+
+def test_dual_contouring_sphere():
+    tape = compile_tree(shapes.sphere(0.6))
+    tris = mesh.mesh_tape(tape, n=24, use_jax=False, method="dc")
+    assert mesh.is_watertight(tris)
+    vol = mesh.mesh_volume(tris)
+    want = 4.0 / 3.0 * np.pi * 0.6 ** 3
+    assert abs(vol - want) / want < 0.02
+    r = np.linalg.norm(tris.reshape(-1, 3), axis=1)
+    assert abs(r - 0.6).max() < 2.0 / 24
+
+
+def test_dual_contouring_sharp_box_edges():
+    """DC's QEF vertices land ON the box corners (sharp features);
+    marching tetrahedra chamfers them by up to a cell."""
+    tape = compile_tree(shapes.box(-0.47, 0.51, -0.23, 0.27, -0.49, 0.23))
+    n = 16
+    dc = mesh.mesh_tape(tape, n=n, use_jax=False, method="dc")
+    assert mesh.is_watertight(dc)
+    want = 0.98 * 0.50 * 0.72
+    assert abs(mesh.mesh_volume(dc) - want) / want < 0.02
+    # DC vertices land on/near the 8 true corners (a corner straddling
+    # two cells splits its crossings rank-2/rank-2 and lands on the
+    # crease instead — bounded by ~0.2 cells); MT chamfers by ~a cell
+    corners = np.array([(x, y, z) for x in (-0.47, 0.51)
+                        for y in (-0.23, 0.27) for z in (-0.49, 0.23)],
+                       np.float32)
+    vv = dc.reshape(-1, 3)
+    d = np.linalg.norm(vv[None] - corners[:, None], axis=2).min(axis=1)
+    assert d.max() < 0.03, f"corner miss {d.max()}"
+    mt = mesh.mesh_tape(tape, n=n, use_jax=False, method="mt")
+    vv = mt.reshape(-1, 3)
+    d_mt = np.linalg.norm(vv[None] - corners[:, None], axis=2).min(axis=1)
+    assert d_mt.max() > 2 * d.max()
+
+
+def test_dual_contouring_boundary_capped():
+    tape = compile_tree(shapes.sphere(1.4))
+    tris = mesh.mesh_tape(tape, n=16, use_jax=False, method="dc")
+    assert mesh.is_watertight(tris)
+    assert 6.0 < mesh.mesh_volume(tris) < 8.01
+
+
+def test_write_obj(tmp_path):
+    tape = compile_tree(shapes.sphere(0.5))
+    tris = mesh.mesh_tape(tape, n=12, use_jax=False, method="dc")
+    path = str(tmp_path / "s.obj")
+    mesh.write_obj(path, tris)
+    txt = open(path).read().splitlines()
+    nv = sum(1 for l in txt if l.startswith("v "))
+    nf = sum(1 for l in txt if l.startswith("f "))
+    assert nf == len(tris)
+    assert nv < 3 * len(tris) / 1.5     # welding actually shared vertices

@@ -277,3 +277,19 @@ def test_malformed_special_forms_report_position():
                 "(let ((a 1)))", "(lambda-shape (x y z))"):
         with pytest.raises(SchemeError, match="line 1"):
             run_string(src)
+
+
+def test_authored_shapes_frep_round_trip(tmp_path):
+    """Scheme-authored shapes (capsule/arc strokes) survive the .frep
+    archive round trip value-exactly — authored scenes are exportable to
+    the reference's wire format like any other shape."""
+    res = run_string('(extrude-z (text "Ab" [-0.5 -0.2]) -0.2 0.2)')
+    path = str(tmp_path / "t.frep")
+    frep.dump([frep.ArchiveShape(tree=res.shapes[0], name="t")], path)
+    back = frep.load(path)[0].tree
+    ta, tb = compile_tree(res.shapes[0]), compile_tree(back)
+    pts = np.random.default_rng(7).uniform(-1, 1, (3, 512)).astype(
+        np.float32)
+    va = oracle.eval_f(ta, *pts)
+    vb = oracle.eval_f(tb, *pts)
+    np.testing.assert_array_equal(va, vb)
