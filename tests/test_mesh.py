@@ -171,3 +171,13 @@ def test_write_obj(tmp_path):
     nf = sum(1 for l in txt if l.startswith("f "))
     assert nf == len(tris)
     assert nv < 3 * len(tris) / 1.5     # welding actually shared vertices
+
+
+def test_dual_contouring_gyroid_robust():
+    """Transcendental surface crossing the box everywhere: normals from
+    the Deriv oracle stay finite and the capped mesh closed."""
+    tape = compile_tree(shapes.gyroid(period=1.0, thickness=0.2))
+    tris = mesh.mesh_tape(tape, n=16, use_jax=False, method="dc")
+    assert len(tris) > 1000
+    assert np.isfinite(tris).all()
+    assert mesh.is_watertight(tris)
