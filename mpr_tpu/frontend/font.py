@@ -252,6 +252,29 @@ GLYPHS: Dict[str, Tuple[float, List[tuple]]] = {
     "&": (0.60, [("c", 0.26, 0.74, 0.17),
                  ("a", 0.26, 0.28, 0.28, -60, 200),
                  ("s", 0.30, 0.52, 0.60, 0.05)]),
+    "@": (0.72, [("a", 0.36, 0.45, 0.34, 10, 330),
+                 ("c", 0.36, 0.45, 0.13),
+                 ("s", 0.49, 0.45, 0.49, 0.34),
+                 ("s", 0.49, 0.34, 0.66, 0.34)]),
+    "$": (0.54, [("a", 0.27, 0.665, 0.235, 60, 270),
+                 ("a", 0.27, 0.235, 0.235, -120, 90),
+                 ("s", 0.27, -0.08, 0.27, 0.98)]),
+    "^": (0.44, [("s", 0.02, 0.62, 0.22, 1.0), ("s", 0.22, 1.0, 0.42, 0.62)]),
+    "~": (0.50, [("a", 0.13, 0.36, 0.12, 10, 170),
+                 ("a", 0.37, 0.44, 0.12, 190, 350)]),
+    "`": (0.14, [("s", 0.02, 1.04, 0.10, 0.82)]),
+    "{": (0.30, [("a", 0.30, 0.82, 0.15, 90, 180),
+                 ("s", 0.15, 0.82, 0.15, 0.55),
+                 ("a", 0.0, 0.55, 0.15, 0, 90),
+                 ("a", 0.0, 0.33, 0.15, 270, 360),
+                 ("s", 0.15, 0.33, 0.15, 0.06),
+                 ("a", 0.30, 0.06, 0.15, 180, 270)]),
+    "}": (0.30, [("a", 0.0, 0.82, 0.15, 0, 90),
+                 ("s", 0.15, 0.82, 0.15, 0.55),
+                 ("a", 0.30, 0.55, 0.15, 90, 180),
+                 ("a", 0.30, 0.33, 0.15, 180, 270),
+                 ("s", 0.15, 0.33, 0.15, 0.06),
+                 ("a", 0.0, 0.06, 0.15, 270, 360)]),
 }
 
 
