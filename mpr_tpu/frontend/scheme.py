@@ -443,6 +443,20 @@ def _eval(form, env: Env):
         for f in form[2:]:
             out = _eval(f, new)
         return _as_shape(out, _pos(form))
+    if hname == "remap-shape":
+        # (remap-shape (shape x y z) ex ey ez) — libfive's coordinate
+        # remap: the shape evaluated at the remapped coordinates
+        spec = form[1]
+        if not isinstance(spec, list) or len(spec) != 4 or len(form) != 5:
+            raise SchemeError("remap-shape: (remap-shape (s x y z) "
+                              "ex ey ez)", _pos(form))
+        s = _as_shape(_eval(spec[0], env), _pos(form))
+        new = Env(env)
+        for nm, t in zip(spec[1:], (_tree.x(), _tree.y(), _tree.z())):
+            new[str(nm)] = t
+        coords = [_eval(f, new) for f in form[2:5]]
+        coords = [_tree.Tree.wrap(c) for c in coords]
+        return s.remap(*coords)
     if hname == "define-shape":
         # (define-shape (name x y z) body) — libfive stdlib idiom
         name = str(form[1][0])

@@ -293,3 +293,15 @@ def test_authored_shapes_frep_round_trip(tmp_path):
     va = oracle.eval_f(ta, *pts)
     vb = oracle.eval_f(tb, *pts)
     np.testing.assert_array_equal(va, vb)
+
+
+def test_remap_shape():
+    # squash a sphere to half height via remap (libfive remap-shape)
+    res = run_string(
+        "(remap-shape ((sphere 0.5) x y z) x y (* z 2))")
+    tape = compile_tree(res.shapes[0])
+    v = oracle.eval_f(tape, np.float32([0, 0, 0]), np.float32([0, 0, 0]),
+                      np.float32([0.2, 0.3, 0.45]))
+    assert v[0] < 0 and v[1] > 0 and v[2] > 0
+    with pytest.raises(SchemeError, match="remap-shape"):
+        run_string("(remap-shape (x y) x y)")
