@@ -305,3 +305,88 @@ def test_remap_shape():
     assert v[0] < 0 and v[1] > 0 and v[2] > 0
     with pytest.raises(SchemeError, match="remap-shape"):
         run_string("(remap-shape (x y) x y)")
+
+
+# every shape builtin: (expression, [(x, y, z, sign)]) — sign < 0 inside.
+# Pins the libfive call signatures (vector points, optional centers);
+# a signature slip here means silently wrong geometry for .io users.
+_BUILTIN_PROBES = [
+    ("(circle 0.3 [0.5 0])", [(0.5, 0, 0, -1), (0, 0, 0, 1)]),
+    ("(ring 0.5 0.3)", [(0.4, 0, 0, -1), (0, 0, 0, 1), (0.6, 0, 0, 1)]),
+    ("(sphere 0.3 [0 0 0.5])", [(0, 0, 0.5, -1), (0, 0, 0, 1)]),
+    ("(rectangle [-0.4 -0.2] [0.1 0.3])",
+     [(-0.1, 0, 0, -1), (0.3, 0, 0, 1), (0, 0.4, 0, 1)]),
+    ("(box [-0.4 -0.2 -0.3] [0.1 0.3 0.2])",
+     [(0, 0, 0, -1), (0, 0, 0.3, 1)]),
+    ("(cylinder-z 0.2 0.5 [0.1 0 -0.2])",
+     [(0.1, 0, 0, -1), (0.1, 0, 0.4, 1), (0.4, 0, 0, 1)]),
+    ("(cone-z 0.4 0.6 [0 0 -0.2])",
+     [(0, 0, 0, -1), (0.3, 0, 0.3, 1), (0, 0, 0.5, 1)]),
+    ("(pyramid-z [-0.4 -0.4] [0.4 0.4] -0.2 0.6)",
+     [(0, 0, 0, -1), (0.35, 0.35, 0.3, 1), (0, 0, 0.5, 1)]),
+    ("(torus-z 0.5 0.2)", [(0.5, 0, 0, -1), (0, 0, 0, 1)]),
+    ("(half-space-z 0.2)", [(0, 0, 0, -1), (0, 0, 0.4, 1)]),
+    ("(gyroid 1.0 0.2)", [(0, 0, 0, -1)]),
+    ("(union (circle 0.1) (circle 0.1 [0.5 0]))",
+     [(0, 0, 0, -1), (0.5, 0, 0, -1), (0.25, 0, 0, 1)]),
+    ("(intersection (circle 0.3) (circle 0.3 [0.3 0]))",
+     [(0.15, 0, 0, -1), (-0.2, 0, 0, 1)]),
+    ("(difference (circle 0.4) (circle 0.2))",
+     [(0.3, 0, 0, -1), (0, 0, 0, 1)]),
+    ("(inverse (circle 0.3))", [(0, 0, 0, 1), (0.5, 0, 0, -1)]),
+    ("(offset (circle 0.2) 0.15)", [(0.3, 0, 0, -1), (0.4, 0, 0, 1)]),
+    ("(shell (circle 0.4) 0.1)",
+     [(0.35, 0, 0, -1), (0, 0, 0, 1)]),
+    # blend bridges when m > sqrt|a| + sqrt|b| at the gap midpoint
+    ("(blend (circle 0.15 [-0.3 0]) (circle 0.15 [0.3 0]) 0.9)",
+     [(-0.3, 0, 0, -1), (0, 0, 0, -1)]),
+    ("(blend (circle 0.15 [-0.3 0]) (circle 0.15 [0.3 0]) 0.3)",
+     [(-0.3, 0, 0, -1), (0, 0, 0, 1)]),
+    ("(morph (circle 0.2) (circle 0.4) 0.5)",
+     [(0.25, 0, 0, -1), (0.35, 0, 0, 1)]),
+    ("(move (sphere 0.2) [0.4 0.1 -0.2])",
+     [(0.4, 0.1, -0.2, -1), (0, 0, 0, 1)]),
+    ("(scale-x (circle 0.2) 3)", [(0.5, 0, 0, -1), (0, 0.3, 0, 1)]),
+    ("(scale-y (circle 0.2) 3 0)", [(0, 0.5, 0, -1), (0.3, 0, 0, 1)]),
+    ("(scale-z (sphere 0.2) 2 0)", [(0, 0, 0.35, -1), (0.3, 0, 0, 1)]),
+    ("(scale-xyz (sphere 0.2) [2 1 1])",
+     [(0.35, 0, 0, -1), (0, 0.3, 0, 1)]),
+    ("(rotate-z (circle 0.1 [0.4 0]) (/ pi 2))",
+     [(0, 0.4, 0, -1), (0.4, 0, 0, 1)]),
+    ("(rotate-x (sphere 0.1 [0 0.4 0]) (/ pi 2))",
+     [(0, 0, 0.4, -1), (0, 0.4, 0, 1)]),
+    ("(rotate-y (sphere 0.1 [0 0 0.4]) (/ pi 2))",
+     [(0.4, 0, 0, -1), (0, 0, 0.4, 1)]),
+    ("(rotate-z (circle 0.1 [0.4 0]) pi [0.4 0])",
+     [(0.4, 0, 0, -1)]),
+    ("(reflect-x (circle 0.1 [0.3 0]))", [(-0.3, 0, 0, -1),
+                                          (0.3, 0, 0, 1)]),
+    ("(reflect-x (circle 0.1 [0.3 0]) 0.5)", [(0.7, 0, 0, -1)]),
+    ("(reflect-y (circle 0.1 [0 0.3]))", [(0, -0.3, 0, -1)]),
+    ("(reflect-z (sphere 0.1 [0 0 0.3]))", [(0, 0, -0.3, -1)]),
+    ("(reflect-xy (circle 0.1 [0.4 0.1]))", [(0.1, 0.4, 0, -1)]),
+    ("(reflect-yz (sphere 0.1 [0 0.4 0.1]))", [(0, 0.1, 0.4, -1)]),
+    ("(reflect-xz (sphere 0.1 [0.4 0 0.1]))", [(0.1, 0, 0.4, -1)]),
+    ("(extrude-z (circle 0.3) -0.1 0.2)",
+     [(0, 0, 0, -1), (0, 0, 0.3, 1)]),
+    ("(symmetric-y (circle 0.1 [0 0.3]))", [(0, -0.3, 0, -1)]),
+    ("(symmetric-z (sphere 0.1 [0 0 0.3]))", [(0, 0, -0.3, -1)]),
+    ("(array-y (circle 0.1) 2 0.5)", [(0, 0.5, 0, -1), (0, 0.25, 0, 1)]),
+    ("(array-z (sphere 0.1) 3 0.3)", [(0, 0, 0.6, -1), (0, 0, 0.45, 1)]),
+    ("(array-xy (circle 0.1) 2 2 [0.5 0.4])",
+     [(0.5, 0.4, 0, -1), (0.25, 0.2, 0, 1)]),
+    ("(text \"l\" [0.2 -0.4])", [(0.29, 0, 0, -1), (-0.5, 0, 0, 1)]),
+]
+
+
+@pytest.mark.parametrize("expr,probes", _BUILTIN_PROBES,
+                         ids=[e.split()[0][1:] + str(i) for i, (e, _) in
+                              enumerate(_BUILTIN_PROBES)])
+def test_shape_builtin_signatures(expr, probes):
+    res = run_string(expr)
+    assert len(res.shapes) == 1, expr
+    tape = compile_tree(res.shapes[0])
+    for (px, py, pz, sign) in probes:
+        v = float(oracle.eval_f(tape, np.float32([px]), np.float32([py]),
+                                np.float32([pz]))[0])
+        assert np.sign(v) == sign, f"{expr} at {(px, py, pz)}: {v}"
