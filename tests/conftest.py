@@ -104,8 +104,10 @@ def _release_xla_executables_per_module():
     ``backend_compile_and_load`` ~100 tests in (different test each
     time; each passed solo afterwards — observed 2026-08-18).  The
     common factor is accumulated in-process XLA state; clearing at
-    module boundaries bounds it, and the persistent compile cache keeps
-    the re-jit cost low."""
+    module boundaries bounds it.  (Cross-module recompiles are rare —
+    each test module compiles its own shapes/sizes — so this costs
+    little; the persistent XLA cache is deliberately OFF on CPU,
+    utils/compcache.py::enable.)"""
     yield
     import gc
     jax.clear_caches()
