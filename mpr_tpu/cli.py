@@ -68,9 +68,30 @@ def _normals_to_rgb(normals):
     return ((normals * 127.0) + 128.0).clip(0, 255).astype(np.uint8)
 
 
+
+def _apply_sets(tape, sets):
+    """--set NAME=VALUE overrides for named vars (frontend var()):
+    pure imm-vector data, so the same compiled executables serve every
+    value (Tape.imms_with)."""
+    if not sets:
+        return tape
+    import dataclasses
+    vals = {}
+    for s in sets:
+        name, eq, v = s.partition("=")
+        if not eq:
+            raise SystemExit(f"--set expects NAME=VALUE, got {s!r}")
+        vals[name] = float(v)
+    missing = [k for k in vals if k not in tape.params]
+    if missing:
+        raise SystemExit(f"unknown var(s) {missing}; this shape has "
+                         f"{sorted(tape.params) or 'none'}")
+    return dataclasses.replace(tape, imms=tape.imms_with(vals))
+
+
 def cmd_render2d(args):
     from .render import pipeline2d, brute, unrolled
-    tape = _load(args.file)
+    tape = _apply_sets(_load(args.file), getattr(args, "sets", None))
     if getattr(args, "sharded", False):
         from .parallel import sharded
         fn = (sharded.render2d_sharded_unrolled
@@ -98,7 +119,7 @@ def cmd_render2d(args):
 def cmd_render3d(args):
     from .render import effects
     from .render import camera
-    tape = _load(args.file)
+    tape = _apply_sets(_load(args.file), getattr(args, "sets", None))
     if getattr(args, "sharded", False):
         from .parallel import sharded
         render3d = (sharded.render3d_sharded_unrolled
@@ -476,6 +497,13 @@ def cmd_fit(args):
     from .render import camera
     tape = _load(args.file)
     fit3d = args.mode == "3d"
+    grad_mask = None
+    if getattr(args, "params_only", False):
+        if not tape.params:
+            sys.exit("--params-only: the shape declares no named vars")
+        grad_mask = np.zeros(tape.length, np.float32)
+        for idxs in tape.params.values():
+            grad_mask[list(idxs)] = 1.0
     # 3d's grid is cubed (size^3 voxels through value_and_grad every
     # step): the 2d default of 256 would mean a 16.7M-voxel dense
     # oracle + gradient — default small instead
@@ -498,14 +526,18 @@ def cmd_fit(args):
     every = max(1, args.steps // 10)
     if fit3d:
         mat = jnp.asarray(camera.identity3())
-        step3 = sharded.make_fit_step_3d(tape, size, mesh, lr=args.lr)
+        step3 = sharded.make_fit_step_3d(tape, size, mesh, lr=args.lr,
+                                          grad_mask=grad_mask)
         step = lambda st, t, m, z_: step3(st, t, m)
         state = jnp.asarray(tape.imms)
     elif args.engine == "unrolled":
-        step = sharded.make_fit_step_unrolled(tape, size, mesh, lr=args.lr)
+        step = sharded.make_fit_step_unrolled(tape, size, mesh,
+                                               lr=args.lr,
+                                               grad_mask=grad_mask)
         state = jnp.asarray(tape.imms)
     else:
-        step = sharded.make_fit_step(size, mesh, lr=args.lr)
+        step = sharded.make_fit_step(size, mesh, lr=args.lr,
+                                     grad_mask=grad_mask)
         state = TapeData.from_tape(tape)
     if not fit3d:
         mat = jnp.asarray(camera.identity2())
@@ -543,6 +575,9 @@ def main(argv=None):
 
     p = sub.add_parser("render2d")
     p.add_argument("file")
+    p.add_argument("--set", dest="sets", action="append", metavar="NAME=V",
+                   help="override a named var (frontend var() / Scheme "
+                   "(var ...)); repeatable")
     p.add_argument("--engine", default="interp",
                    choices=["interp", "unrolled"],
                    help="interp: no per-shape compile (interactive); "
@@ -561,6 +596,8 @@ def main(argv=None):
 
     p = sub.add_parser("render3d")
     p.add_argument("file")
+    p.add_argument("--set", dest="sets", action="append", metavar="NAME=V",
+                   help="override a named var; repeatable")
     p.add_argument("--engine", default="interp",
                    choices=["interp", "unrolled"])
     p.add_argument("--size", type=int, default=512)
@@ -638,6 +675,11 @@ def main(argv=None):
                    help="default 256 (2d) / 32 (3d: size^3 voxels per "
                         "gradient step)")
     p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--params-only", action="store_true",
+                   help="update only the named vars (frontend var() / "
+                   "Scheme (var ...)) and freeze every other constant "
+                   "(libfive-Studio-style direct manipulation via "
+                   "gradient descent)")
     p.add_argument("--lr", type=float, default=None,
                    help="default 1e-2 (2d) / 3e-4 (3d: voxel-unit loss)")
     p.add_argument("--engine", default="scan",

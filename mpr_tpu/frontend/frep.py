@@ -13,7 +13,10 @@ rendering them):
     string    := '"' (escaped chars) '"'
     clause    := opcode-byte payload
     payload   := f32-LE                 (CONSTANT)
-               | u32 lhs-id            (unary ops)
+               | u32 lhs-id            (unary ops; also CONST_VAR, whose
+                                        child is the CONSTANT holding the
+                                        variable's value -- named by a
+                                        trailing 'V' record)
                | u32 rhs-id u32 lhs-id (binary ops; rhs serialized FIRST --
                                         a fallthrough-switch idiom in
                                         libfive's serializer)
@@ -29,7 +32,7 @@ import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-from .tree import Tree, CONSTANT, VAR_X, VAR_Y, VAR_Z
+from .tree import Tree, CONSTANT, PARAM, VAR_X, VAR_Y, VAR_Z
 
 # Packed libfive opcode numbering (declaration order of libfive's
 # Opcode enum; empirically verified against the bundled archives).
@@ -52,7 +55,28 @@ class ArchiveShape:
     tree: Tree
     name: str = ""
     doc: str = ""
+    # serialized-id -> var name, as read from / written to 'V' records.
+    # After loads() post-processing the same names appear as PARAM nodes
+    # in ``tree`` (frontend var()), which is the API the rest of the
+    # framework uses; this dict is kept as wire-level provenance.
     vars: Dict[int, str] = field(default_factory=dict)
+
+
+def _rename_params(tree: Tree, mapping: Dict[str, str]) -> Tree:
+    """Rebuild ``tree`` with PARAM nodes renamed per ``mapping`` (keys are
+    provisional names).  Used by loads(): 'V' name records trail the
+    shape's clauses, so params are first built with placeholder names."""
+    memo: Dict[int, Tree] = {}
+    for n in tree.ordered_dfs():
+        if n.op == PARAM and n.name in mapping:
+            memo[n._id] = Tree(PARAM, value=n.value,
+                               name=mapping[n.name])
+        elif n.children():
+            kids = [memo.get(c._id, c) for c in n.children()]
+            if any(k is not c for k, c in zip(kids, n.children())):
+                memo[n._id] = (Tree(n.op, kids[0]) if len(kids) == 1
+                               else Tree(n.op, kids[0], kids[1]))
+    return memo.get(tree._id, tree)
 
 
 def _read_string(data: bytes, pos: int) -> Tuple[str, int]:
@@ -77,6 +101,7 @@ def loads(data: bytes) -> List[ArchiveShape]:
     pos = 0
     shapes: List[ArchiveShape] = []
     nodes: List[Tree] = []       # global id space across the archive
+    cv_alias: Dict[int, int] = {}  # const serial -> wrapping const-var serial
     while pos < len(data):
         tag = data[pos]
         pos += 1
@@ -104,6 +129,19 @@ def loads(data: bytes) -> List[ArchiveShape]:
                 (v,) = struct.unpack_from("<f", data, pos)
                 pos += 4
                 node = Tree(CONSTANT, value=v)
+            elif nm == "const-var":
+                # libfive CONST_VAR: a constant marked as a free variable
+                # (Studio's draggable vars).  Built as a PARAM with a
+                # placeholder name; the trailing 'V' record renames it
+                # (post-pass below).
+                (l,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                child = nodes[l]
+                if child.op != CONSTANT:
+                    raise ValueError("const-var over a non-constant")
+                cv_alias[l] = len(nodes)
+                node = Tree(PARAM, value=child.value,
+                            name=f"__frep_v{len(nodes)}")
             elif nm in _UNARY:
                 (l,) = struct.unpack_from("<I", data, pos)
                 pos += 4
@@ -120,7 +158,13 @@ def loads(data: bytes) -> List[ArchiveShape]:
             elif nm == "var-z":
                 node = Tree(VAR_Z)
             elif nm == "var-free":
-                node = Tree("var-free")
+                # valueless free variable (libfive binds it externally at
+                # eval time); becomes a PARAM defaulting to 0.0 so such
+                # archives still compile and render — the reference's
+                # tape compiler rejects VAR_FREE outright
+                # (/root/reference/src/tape.cpp:182-196)
+                node = Tree(PARAM, value=0.0,
+                            name=f"__frep_v{len(nodes)}")
             else:
                 raise ValueError(f"unsupported clause {nm!r} in archive")
             nodes.append(node)
@@ -129,6 +173,17 @@ def loads(data: bytes) -> List[ArchiveShape]:
         if root is None:
             raise ValueError("empty shape in archive")
         shapes.append(ArchiveShape(tree=root, name=name, doc=doc))
+    # post-pass: 'V' records trail each shape, so params were built with
+    # placeholder names — rebuild trees with the real names (a 'V' id may
+    # reference either the const-var clause or its const child)
+    for s in shapes:
+        if not s.vars:
+            continue
+        mapping = {}
+        for idx, vname in s.vars.items():
+            sid = cv_alias.get(idx, idx)
+            mapping[f"__frep_v{sid}"] = vname
+        s.tree = _rename_params(s.tree, mapping)
     return shapes
 
 
@@ -152,31 +207,56 @@ def dumps(shapes: List[ArchiveShape]) -> bytes:
     ids: Dict[int, int] = {}
     next_id = [0]
 
-    def emit_tree(t: Tree) -> None:
+    def emit_tree(t: Tree) -> list:
+        """Emit clauses; returns [(serialized-id, var-name)] for params
+        (written as const + const-var, the libfive Studio idiom)."""
+        vars_out = []
         for n in t.ordered_dfs():
             if n.id in ids:
+                if n.op == PARAM:
+                    vars_out.append((ids[n.id], n.name))
                 continue
-            ids[n.id] = next_id[0]
-            next_id[0] += 1
             if n.op == CONSTANT:
+                ids[n.id] = next_id[0]
+                next_id[0] += 1
                 out.append(_PACKED_INDEX["const"])
                 out.extend(struct.pack("<f", n.value))
+            elif n.op == PARAM:
+                # const holding the value, then const-var marking it
+                cnode = Tree(CONSTANT, value=n.value)
+                if cnode.id not in ids:
+                    ids[cnode.id] = next_id[0]
+                    next_id[0] += 1
+                    out.append(_PACKED_INDEX["const"])
+                    out.extend(struct.pack("<f", n.value))
+                ids[n.id] = next_id[0]
+                next_id[0] += 1
+                out.append(_PACKED_INDEX["const-var"])
+                out.extend(struct.pack("<I", ids[cnode.id]))
+                vars_out.append((ids[n.id], n.name))
             elif n.op in _UNARY:
+                ids[n.id] = next_id[0]
+                next_id[0] += 1
                 out.append(_PACKED_INDEX[n.op])
                 out.extend(struct.pack("<I", ids[n.lhs.id]))
             elif n.op in _BINARY:
+                ids[n.id] = next_id[0]
+                next_id[0] += 1
                 out.append(_PACKED_INDEX[n.op])
                 out.extend(struct.pack("<II", ids[n.rhs.id], ids[n.lhs.id]))
             else:
+                ids[n.id] = next_id[0]
+                next_id[0] += 1
                 out.append(_PACKED_INDEX[n.op])
+        return vars_out
 
     for s in shapes:
         out.append(ord('T'))
         _write_string(out, s.name)
         _write_string(out, s.doc)
-        emit_tree(s.tree)
+        vars_out = emit_tree(s.tree)
         out.append(0xFF)
-        for idx, vname in s.vars.items():
+        for idx, vname in vars_out:
             out.append(ord('V'))
             out.extend(struct.pack("<I", idx))
             _write_string(out, vname)

@@ -457,6 +457,30 @@ def _eval(form, env: Env):
         coords = [_eval(f, new) for f in form[2:5]]
         coords = [_tree.Tree.wrap(c) for c in coords]
         return s.remap(*coords)
+    if hname == "var":
+        # (var name value [lo hi]) — a named free parameter (the free
+        # variables the reference interpreter extracts from script
+        # results, gui/interpreter.cpp:125-148).  Defines ``name`` in the
+        # environment, records slider metadata for the viewer, and
+        # returns the param node (so (circle (var r 0.5)) also works).
+        if len(form) not in (3, 5) or not isinstance(form[1], Symbol):
+            raise SchemeError("var: (var name value [lo hi])", _pos(form))
+        vname = str(form[1])
+        value = float(_eval(form[2], env))
+        if len(form) == 5:
+            lo, hi = float(_eval(form[3], env)), float(_eval(form[4], env))
+        else:  # default slider range around the value
+            span = max(abs(value), 1.0)
+            lo, hi = value - span, value + span
+        node = _tree.var(vname, value)
+        env[vname] = node
+        try:
+            hook = env.lookup("__var-hook__")
+        except SchemeError:
+            hook = None
+        if hook is not None:
+            hook(vname, value, lo, hi)
+        return node
     if hname == "define-shape":
         # (define-shape (name x y z) body) — libfive stdlib idiom
         name = str(form[1][0])
@@ -615,12 +639,25 @@ _NUM_BUILTINS: Dict[str, Any] = {
 # builtins: the libfive shape stdlib surface
 # ---------------------------------------------------------------------------
 
+def _num(v, name: str = "argument"):
+    """Scalar coercion that lets named parameters (frontend var() nodes)
+    flow into shape arguments: Trees pass through (shapes.py builds with
+    operator overloading, so a Tree radius/offset/angle is as good as a
+    float), everything else must be a real number."""
+    if isinstance(v, Tree):
+        return v
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        raise SchemeError(f"{name}: expected a number or a var, got {v!r}")
+
+
 def _vec(v, lo: int, hi: int, name: str) -> List[float]:
     if not isinstance(v, list) or not (lo <= len(v) <= hi) or any(
-            not isinstance(c, (int, float)) for c in v):
+            not isinstance(c, (int, float, Tree)) for c in v):
         raise SchemeError(f"{name}: expected a [{lo}..{hi}]-component "
                           f"vector, got {v!r}")
-    return [float(c) for c in v]
+    return [_num(c, name) for c in v]
 
 
 def _pt2(v, name) -> Tuple[float, float]:
@@ -635,19 +672,19 @@ def _pt3(v, name) -> Tuple[float, float, float]:
 
 def _sh_circle(r, center=None):
     cx, cy = _pt2(center, "circle") if center is not None else (0.0, 0.0)
-    return _shapes.circle(float(r), cx, cy)
+    return _shapes.circle(_num(r, 'circle'), cx, cy)
 
 
 def _sh_ring(ro, ri, center=None):
     cx, cy = _pt2(center, "ring") if center is not None else (0.0, 0.0)
-    return _shapes.difference(_shapes.circle(float(ro), cx, cy),
-                              _shapes.circle(float(ri), cx, cy))
+    return _shapes.difference(_shapes.circle(_num(ro, 'ring'), cx, cy),
+                              _shapes.circle(_num(ri, 'ring'), cx, cy))
 
 
 def _sh_sphere(r, center=None):
     cx, cy, cz = (_pt3(center, "sphere") if center is not None
                   else (0.0, 0.0, 0.0))
-    return _shapes.sphere(float(r), cx, cy, cz)
+    return _shapes.sphere(_num(r, 'sphere'), cx, cy, cz)
 
 
 def _sh_rectangle(a, b):
@@ -665,15 +702,17 @@ def _sh_box(a, b):
 def _sh_cylinder_z(r, h, base=None):
     cx, cy, cz = (_pt3(base, "cylinder-z") if base is not None
                   else (0.0, 0.0, 0.0))
-    return _shapes.cylinder_z(float(r), cz, cz + float(h), cx, cy)
+    return _shapes.cylinder_z(_num(r, 'cylinder-z'), cz,
+                              cz + _num(h, 'cylinder-z'), cx, cy)
 
 
 def _sh_cone_z(r, h, base=None):
     cx, cy, cz = (_pt3(base, "cone-z") if base is not None
                   else (0.0, 0.0, 0.0))
     xt, yt, zt = _tree.x() - cx, _tree.y() - cy, _tree.z() - cz
+    r, h = _num(r, 'cone-z'), _num(h, 'cone-z')
     side = _tree.sqrt(_tree.square(xt) + _tree.square(yt)) * (
-        float(h)) / float(r) + zt - float(h)
+        h) / r + zt - h
     return _shapes.intersection(side, -zt)
 
 
@@ -682,7 +721,7 @@ def _sh_pyramid_z(a, b, zmin, h):
     pyramid tapering to the rectangle's center at zmin+height."""
     ax, ay = _pt2(a, "pyramid-z")
     bx, by = _pt2(b, "pyramid-z")
-    zmin, h = float(zmin), float(h)
+    zmin, h = _num(zmin, 'pyramid-z'), _num(h, 'pyramid-z')
     cx, cy = (ax + bx) / 2, (ay + by) / 2
     # taper the box cross-section with height: at z=zmin full size, at
     # z=zmin+h zero size
@@ -713,7 +752,7 @@ def _sh_scale_xyz(s, f, center=None):
 def _axis_scale(axis: int):
     def f(s, factor, c0=0.0):
         s = _as_shape(s)
-        factor, c0 = float(factor), float(c0)
+        factor, c0 = _num(factor, 'scale'), _num(c0, 'scale')
         coords = [_tree.x(), _tree.y(), _tree.z()]
         coords[axis] = (coords[axis] - c0) / factor + c0
         return s.remap(*coords)
@@ -723,7 +762,7 @@ def _axis_scale(axis: int):
 def _axis_reflect(axis: int):
     def f(s, c0=0.0):
         s = _as_shape(s)
-        c0 = float(c0)
+        c0 = _num(c0, 'reflect')
         coords = [_tree.x(), _tree.y(), _tree.z()]
         coords[axis] = 2.0 * c0 - coords[axis]
         return s.remap(*coords)
@@ -743,10 +782,10 @@ def _rot(fn):
     def f(s, angle, center=None):
         s = _as_shape(s)
         if center is None:
-            return fn(s, float(angle))
+            return fn(s, _num(angle, 'rotate'))
         cx, cy, cz = _pt3(center, "rotate")
         s = _shapes.move(s, -cx, -cy, -cz)
-        return _shapes.move(fn(s, float(angle)), cx, cy, cz)
+        return _shapes.move(fn(s, _num(angle, 'rotate')), cx, cy, cz)
     return f
 
 
@@ -766,15 +805,16 @@ def _sh_difference(a, *rest):
 
 
 def _sh_extrude_z(s, zmin, zmax):
-    return _shapes.extrude_z(_as_shape(s), float(zmin), float(zmax))
+    return _shapes.extrude_z(_as_shape(s), _num(zmin, 'extrude-z'),
+                             _num(zmax, 'extrude-z'))
 
 
 def _sh_offset(s, o):
-    return _shapes.offset(_as_shape(s), float(o))
+    return _shapes.offset(_as_shape(s), _num(o, 'offset'))
 
 
 def _sh_blend(a, b, m):
-    return _shapes.blend(_as_shape(a), _as_shape(b), float(m))
+    return _shapes.blend(_as_shape(a), _as_shape(b), _num(m, 'blend'))
 
 
 def _sh_text(txt, pos=None):
@@ -859,10 +899,10 @@ _SHAPE_BUILTINS: Dict[str, Any] = {
     "cylinder": _sh_cylinder_z,
     "cone-z": _sh_cone_z,
     "pyramid-z": _sh_pyramid_z,
-    "torus-z": lambda ro, ri: _shapes.torus_z(float(ro), float(ri)),
-    "torus": lambda ro, ri: _shapes.torus_z(float(ro), float(ri)),
-    "gyroid": lambda p=1.0, t=0.1: _shapes.gyroid(float(p), float(t)),
-    "half-space-z": lambda z0=0.0: _shapes.half_space_z(float(z0)),
+    "torus-z": lambda ro, ri: _shapes.torus_z(_num(ro), _num(ri)),
+    "torus": lambda ro, ri: _shapes.torus_z(_num(ro), _num(ri)),
+    "gyroid": lambda p=1.0, t=0.1: _shapes.gyroid(_num(p), _num(t)),
+    "half-space-z": lambda z0=0.0: _shapes.half_space_z(_num(z0)),
     "union": _sh_union,
     "intersection": _sh_intersection,
     "difference": _sh_difference,
@@ -870,7 +910,8 @@ _SHAPE_BUILTINS: Dict[str, Any] = {
     "offset": _sh_offset,
     "blend": _sh_blend,
     "shell": lambda s, o: _shapes.difference(
-        _as_shape(s), _shapes.offset(_as_shape(s), -abs(float(o)))),
+        _as_shape(s), _shapes.offset(_as_shape(s),
+                                     -abs(_num(o, "shell")))),
     "move": _sh_move,
     "translate": _sh_move,
     "scale-x": _axis_scale(0), "scale-y": _axis_scale(1),
@@ -911,6 +952,10 @@ class ScriptResult:
     quality: Optional[float] = None
     resolution: Optional[float] = None
     env: Optional[Env] = None
+    # (var name value [lo hi]) declarations: name -> (value, lo, hi) —
+    # the free-variable extraction of gui/interpreter.cpp:125-148, plus
+    # slider ranges for the viewer
+    vars: Dict[str, Tuple[float, float, float]] = field(default_factory=dict)
 
 
 def _global_env(result: ScriptResult) -> Env:
@@ -930,6 +975,9 @@ def _global_env(result: ScriptResult) -> Env:
     env["set-bounds!"] = set_bounds
     env["set-quality!"] = set_quality
     env["set-resolution!"] = set_resolution
+    env["__var-hook__"] = (
+        lambda name, value, lo, hi: result.vars.__setitem__(
+            name, (value, lo, hi)))
     return env
 
 
@@ -942,7 +990,9 @@ def run_string(src: str) -> ScriptResult:
     result.env = env
     for form in parse(src):
         v = _eval(form, env)
-        if isinstance(v, Tree):
+        # a bare top-level (var ...) returns its param node — that is a
+        # declaration, not a scene shape
+        if isinstance(v, Tree) and v.op != _tree.PARAM:
             result.shapes.append(v)
     return result
 

@@ -109,18 +109,27 @@ def scale(shape: Tree, sx: float, sy: float = None, sz: float = None) -> Tree:
     return shape.remap(x() / sx, y() / sy, z() / sz)
 
 
+def _cos_sin(angle):
+    """cos/sin of a float angle — or of a Tree angle (e.g. a named
+    parameter, frontend var()), in which case the rotation itself
+    becomes a differentiable function of the parameter."""
+    if isinstance(angle, Tree):
+        return cos(angle), sin(angle)
+    return math.cos(angle), math.sin(angle)
+
+
 def rotate_z(shape: Tree, angle: float) -> Tree:
-    c, s = math.cos(angle), math.sin(angle)
+    c, s = _cos_sin(angle)
     return shape.remap(c * x() + s * y(), -s * x() + c * y(), z())
 
 
 def rotate_x(shape: Tree, angle: float) -> Tree:
-    c, s = math.cos(angle), math.sin(angle)
+    c, s = _cos_sin(angle)
     return shape.remap(x(), c * y() + s * z(), -s * y() + c * z())
 
 
 def rotate_y(shape: Tree, angle: float) -> Tree:
-    c, s = math.cos(angle), math.sin(angle)
+    c, s = _cos_sin(angle)
     return shape.remap(c * x() - s * z(), y(), s * x() + c * z())
 
 

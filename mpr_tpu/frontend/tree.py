@@ -37,6 +37,13 @@ VAR_X = "var-x"
 VAR_Y = "var-y"
 VAR_Z = "var-z"
 VAR_FREE = "var-free"
+# A named free parameter with a default value — the analog of libfive's
+# CONST_VAR (a constant marked as a draggable variable; the reference GUI
+# extracts these from script results, /root/reference/gui/interpreter.cpp:
+# 125-148).  Compiles to a COPY_IMM clause whose immediate is the value,
+# so parameter edits are pure data (no recompile) in every engine that
+# treats ``Tape.imms`` as input.
+PARAM = "param"
 
 UNARY_OPS = (
     "square", "sqrt", "neg", "sin", "cos", "asin", "acos", "atan",
@@ -54,7 +61,7 @@ BINARY_OPS = (
     "atan2", "pow", "nth-root", "mod", "nanfill", "compare",
 )
 
-LEAF_OPS = (CONSTANT, VAR_X, VAR_Y, VAR_Z, VAR_FREE)
+LEAF_OPS = (CONSTANT, VAR_X, VAR_Y, VAR_Z, VAR_FREE, PARAM)
 
 _ALL_OPS = set(LEAF_OPS) | set(UNARY_OPS) | set(BINARY_OPS)
 
@@ -73,14 +80,16 @@ class Tree:
     guarantees structurally equal nodes are the same object.
     """
 
-    __slots__ = ("op", "lhs", "rhs", "value", "_id", "_ext", "__weakref__")
+    __slots__ = ("op", "lhs", "rhs", "value", "name", "_id", "_ext",
+                 "_param", "__weakref__")
 
     _intern: Dict[tuple, "Tree"] = {}
     _lock = threading.Lock()
     _next_id = [0]
 
     def __new__(cls, op: str, lhs: Optional["Tree"] = None,
-                rhs: Optional["Tree"] = None, value: float = 0.0):
+                rhs: Optional["Tree"] = None, value: float = 0.0,
+                name: Optional[str] = None):
         if op not in _ALL_OPS:
             raise ValueError(f"unknown op {op!r}")
         if op == CONSTANT:
@@ -88,6 +97,11 @@ class Tree:
             # float-valued immediates (/root/reference/inc/clause.hpp:22).
             value = struct.unpack("<f", struct.pack("<f", float(value)))[0]
             key = (op, value)
+        elif op == PARAM:
+            if not name:
+                raise ValueError("param nodes need a name")
+            value = struct.unpack("<f", struct.pack("<f", float(value)))[0]
+            key = (op, name, value)
         elif op in UNARY_OPS:
             key = (op, id(lhs))
         elif op in BINARY_OPS:
@@ -102,11 +116,15 @@ class Tree:
             node.op = op
             node.lhs = lhs
             node.rhs = rhs
-            node.value = value if op == CONSTANT else None
+            node.value = value if op in (CONSTANT, PARAM) else None
+            node.name = name if op == PARAM else None
             node._id = cls._next_id[0]
             node._ext = (op in _LOWERABLE
                          or (lhs is not None and lhs._ext)
                          or (rhs is not None and rhs._ext))
+            node._param = (op == PARAM
+                           or (lhs is not None and lhs._param)
+                           or (rhs is not None and rhs._param))
             cls._next_id[0] += 1
             cls._intern[key] = node
             return node
@@ -175,6 +193,8 @@ class Tree:
     def __repr__(self) -> str:
         if self.op == CONSTANT:
             return f"Tree({self.value})"
+        if self.op == PARAM:
+            return f"Tree<param {self.name}={self.value}>"
         return f"Tree<{self.op}#{self._id}>"
 
     # -- operator overloads ---------------------------------------------------
@@ -264,6 +284,46 @@ def x() -> Tree: return Tree(VAR_X)
 def y() -> Tree: return Tree(VAR_Y)
 def z() -> Tree: return Tree(VAR_Z)
 def const(v: float) -> Tree: return Tree(CONSTANT, value=v)
+
+
+def var(name: str, value: float) -> Tree:
+    """A named free parameter with a default value (libfive's CONST_VAR
+    analog — the free variables the reference interpreter extracts from
+    scripts, /root/reference/gui/interpreter.cpp:125-148).  Participates
+    in expressions like a constant but is never folded, so it survives to
+    a tape clause: ``Tape.params[name]`` gives its imm indices and
+    parameter edits are pure imm-vector data (no recompile in the
+    interpreter engine, and the differentiable target for fitting)."""
+    return Tree(PARAM, value=value, name=str(name))
+
+
+def params_of(t: Tree) -> Dict[str, float]:
+    """All named parameters reachable from ``t`` (name -> default value).
+    A name bound at two different values (e.g. mid-edit) keeps the value
+    of the LAST occurrence in DFS order."""
+    out: Dict[str, float] = {}
+    for n in t.ordered_dfs():
+        if n.op == PARAM:
+            out[n.name] = float(n.value)
+    return out
+
+
+def with_params(t: Tree, values: Dict[str, float]) -> Tree:
+    """Rebuild ``t`` with the named parameters' default values replaced —
+    bakes viewer slider edits back into the tree (e.g. before a .frep
+    save).  Names absent from ``values`` are untouched."""
+    memo: Dict[int, Tree] = {}
+    for n in t.ordered_dfs():
+        if n.op == PARAM and n.name in values:
+            nn = Tree(PARAM, value=values[n.name], name=n.name)
+            if nn is not n:
+                memo[n._id] = nn
+        elif n.children():
+            kids = [memo.get(c._id, c) for c in n.children()]
+            if any(k is not c for k, c in zip(kids, n.children())):
+                memo[n._id] = (Tree(n.op, kids[0]) if len(kids) == 1
+                               else Tree(n.op, kids[0], kids[1]))
+    return memo.get(t._id, t)
 
 
 def _unary_fn(op):

@@ -190,7 +190,7 @@ def _block_coords(size, n_rows_px, n_cols_px, mat, z):
 
 
 def make_fit_step(size: int, mesh: Mesh, lr: float = 1e-2,
-                  sharpness: float = 20.0):
+                  sharpness: float = 20.0, grad_mask=None):
     """Build a jitted sharded training step for fitting tape constants to a
     target fill image.
 
@@ -223,16 +223,21 @@ def make_fit_step(size: int, mesh: Mesh, lr: float = 1e-2,
                             in_specs=(P(), P("dp", "sp"), P(), P()),
                             out_specs=(P(), P()), check_vma=False)
 
+    mask = None if grad_mask is None else jnp.asarray(grad_mask,
+                                                     jnp.float32)
+
     @jax.jit
     def step(td, target, mat, z):
         loss, grad = sharded(td, target, mat, z)
+        if mask is not None:
+            grad = grad * mask     # fit only the named parameters
         return loss, _with_imms(td, td.imms - lr * grad)
 
     return step
 
 
 def make_fit_step_3d(tape: Tape, grid: int, mesh: Mesh, lr: float = 3e-4,
-                     sharpness: float = 40.0):
+                     sharpness: float = 40.0, grad_mask=None):
     """Sharded 3D differentiable fitting: match a target DEPTH image.
 
     The discrete painter's-algorithm depth (top filled voxel + 1,
@@ -291,16 +296,22 @@ def make_fit_step_3d(tape: Tape, grid: int, mesh: Mesh, lr: float = 3e-4,
                                  in_specs=(P(), P(("dp", "sp")), P()),
                                  out_specs=(P(), P()), check_vma=False)
 
+    mask = None if grad_mask is None else jnp.asarray(grad_mask,
+                                                     jnp.float32)
+
     @jax.jit
     def step(imms, target, mat):
         loss, grad = sharded_step(imms, target, mat)
+        if mask is not None:
+            grad = grad * mask     # fit only the named parameters
         return loss, imms - lr * grad
 
     return step
 
 
 def make_fit_step_unrolled(tape: Tape, size: int, mesh: Mesh,
-                           lr: float = 1e-2, sharpness: float = 20.0):
+                           lr: float = 1e-2, sharpness: float = 20.0,
+                           grad_mask=None):
     """make_fit_step through the PRODUCTION evaluator: the unrolled
     per-shape XLA float chain with the immediates as an argument
     (ops/unrolled_eval.build_float(take_imms=True)) instead of the scan
@@ -334,9 +345,14 @@ def make_fit_step_unrolled(tape: Tape, size: int, mesh: Mesh,
                             in_specs=(P(), P("dp", "sp"), P(), P()),
                             out_specs=(P(), P()), check_vma=False)
 
+    mask = None if grad_mask is None else jnp.asarray(grad_mask,
+                                                     jnp.float32)
+
     @jax.jit
     def step(imms, target, mat, z):
         loss, grad = sharded(imms, target, mat, z)
+        if mask is not None:
+            grad = grad * mask     # fit only the named parameters
         return loss, imms - lr * grad
 
     return step

@@ -26,7 +26,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..frontend.tree import Tree, CONSTANT, VAR_X, VAR_Y, VAR_Z, UNARY_OPS
+from ..frontend.tree import (Tree, CONSTANT, PARAM, VAR_X, VAR_Y, VAR_Z,
+                             UNARY_OPS)
 from .opcodes import Op
 
 SLOT_CAP = 224
@@ -86,10 +87,25 @@ class Tape:
     num_slots: int                        # slots actually used (incl. slot 0)
     num_choices: int                      # count of min/max clauses
     tree: Optional[Tree] = field(default=None, repr=False)
+    # named parameters (frontend var(): libfive CONST_VAR analog) ->
+    # clause indices of their COPY_IMM imms.  Usually one index per name;
+    # a name bound at two values mid-edit yields two clauses, and
+    # imms_with sets them all.
+    params: Dict[str, List[int]] = field(default_factory=dict, repr=False)
 
     @property
     def length(self) -> int:
         return int(self.ops.shape[0])
+
+    def imms_with(self, values: Dict[str, float]) -> np.ndarray:
+        """A copy of ``imms`` with the named parameters overridden —
+        parameter edits are pure data, so one compiled executable serves
+        every value (the no-recompile contract of frontend var())."""
+        imms = self.imms.copy()
+        for name, v in values.items():
+            for i in self.params.get(name, ()):
+                imms[i] = np.float32(v)
+        return imms
 
     # -- parity helpers -----------------------------------------------------
 
@@ -133,6 +149,8 @@ def _eff_operands(c: Tree):
 
 def _gpu_op_of(c: Tree) -> int:
     """The GPU opcode this node will compile to (imm-folding aware)."""
+    if c.op == PARAM:
+        return int(Op.COPY_IMM)
     if c.op in _UNARY_GPU:
         return int(_UNARY_GPU[c.op])
     if c.op in _FUSED_GPU:
@@ -252,7 +270,14 @@ def compile_tree(tree: Tree, schedule: str = "opruns",
                     imms=np.asarray([tree.value], np.float32),
                     axis_slots=(0, 0, 0), result_slot=1, num_slots=2,
                     num_choices=0, tree=tree)
-    if backend in ("auto", "native"):
+    if backend == "native" and tree._param:
+        raise RuntimeError("native tape compiler does not support param "
+                           "nodes (param tapes use the Python path)")
+    if backend in ("auto", "native") and not tree._param:
+        # param trees always take the Python path: the native compiler
+        # has no PARAM clause form, and param-carrying tapes are tiny
+        # interactive scenes, not the prospero-scale compiles the C++
+        # fast path exists for
         from ..native import compile_native
         t = compile_native(tree, schedule)
         if t is not None:
@@ -349,11 +374,17 @@ def _emit(tree, ordered, ordered_fast, last_used, axes_used) -> Tape:
     rhss: List[int] = []
     imms: List[float] = []
     num_choices = 0
+    params: Dict[str, List[int]] = {}
 
     for c in ordered_fast:
         op = c.op
         o_op, o_lhs, o_rhs, o_imm = 0, 0, 0, 0.0
-        if op in _UNARY_GPU:
+        if op == PARAM:
+            # named parameter -> COPY_IMM; its imm index is the handle
+            # parameter edits and fitting masks use (Tape.params)
+            o_op, o_imm = Op.COPY_IMM, c.value
+            params.setdefault(c.name, []).append(len(ops))
+        elif op in _UNARY_GPU:
             o_op = _UNARY_GPU[op]
             o_lhs = get_reg(c.lhs)
         elif op in _FUSED_GPU:
@@ -430,4 +461,5 @@ def _emit(tree, ordered, ordered_fast, last_used, axes_used) -> Tape:
         num_slots=num_slots,
         num_choices=num_choices,
         tree=tree,
+        params=params,
     )

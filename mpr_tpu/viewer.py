@@ -70,6 +70,7 @@ _PAGE = b"""<!doctype html>
       <option selected>interp</option><option>unrolled</option>
     </select>
   </div>
+  <div id=vars style="display:none;max-height:30vh;overflow-y:auto"></div>
   <textarea id=src spellcheck=false
     style="flex:1;background:#1b1e24;color:#d8d8d8;border:1px solid #333;font:12px monospace"></textarea>
   <pre id=err style="color:#ff7b72;white-space:pre-wrap;min-height:3em;margin:0"></pre>
@@ -112,6 +113,51 @@ function drawAxes(cam, mode) {
     g.fillText(lbl, 33 + 31*v[0], 38 - 31*v[1]);
   }
 }
+let varsSig = '';
+function renderVars(vars) {
+  // named-parameter sliders ((var name v lo hi) / Python var()): moves
+  // POST imm-level overrides -- the interp engine re-renders with no
+  // recompile.  DOM is rebuilt only when the var set/ranges change.
+  const box = el('vars'), names = Object.keys(vars || {});
+  const sig = names.map(n => n + ':' + vars[n][1] + ':' + vars[n][2]).join();
+  if (sig === varsSig) {
+    for (const inp of box.querySelectorAll('input[data-var]')) {
+      const n = inp.dataset.var;
+      if (document.activeElement !== inp && vars[n]) {
+        inp.value = vars[n][0];
+        inp.parentElement.querySelector('.vv').textContent =
+          (+vars[n][0]).toFixed(3);
+      }
+    }
+    return;
+  }
+  varsSig = sig;
+  box.innerHTML = '';
+  box.style.display = names.length ? 'block' : 'none';
+  for (const n of names) {
+    const [v, lo, hi] = vars[n];
+    const row = document.createElement('div');
+    const lbl = document.createElement('span');
+    lbl.style.cssText = 'display:inline-block;width:84px;overflow:hidden';
+    lbl.textContent = n;
+    const inp = document.createElement('input');
+    inp.type = 'range'; inp.min = lo; inp.max = hi;
+    inp.step = (hi - lo) / 256; inp.value = v; inp.dataset.var = n;
+    inp.style.cssText = 'width:190px;vertical-align:middle';
+    const vv = document.createElement('span');
+    vv.className = 'vv'; vv.textContent = (+v).toFixed(3);
+    inp.oninput = () => {
+      vv.textContent = (+inp.value).toFixed(3);
+      post({set_var: [n, +inp.value]});
+    };
+    row.append(lbl, inp, ' ', vv);
+    box.appendChild(row);
+  }
+  const rb = document.createElement('button');
+  rb.textContent = 'reset vars';
+  rb.onclick = () => { varsSig = ''; post({reset_vars: true}); };
+  box.appendChild(rb);
+}
 async function tick() {
   try {
     const j = await (await fetch('/status')).json();
@@ -121,6 +167,7 @@ async function tick() {
       `zoom ${(1 / j.cam.scale).toFixed(2)}x  #${j.seq}`;
     el('err').textContent = j.error || '';
     drawAxes(j.cam, j.mode);
+    renderVars(j.vars);
     if (j.seq !== seq) { seq = j.seq; el('v').src = '/frame.png?s=' + seq; }
   } catch (e) {}
   setTimeout(tick, 250);
@@ -163,6 +210,10 @@ class ViewerState:
         self.seq = 0
         self.ms = 0.0
         self.error = ""
+        # named parameters: slider metadata from the last eval and the
+        # user's slider overrides (imm-level, applied at render time)
+        self.vars = {}
+        self.var_overrides = {}
         self.lock = threading.Lock()
         self.dirty = threading.Event()
         # set when opening a .frep directly: the archive path to watch
@@ -205,11 +256,12 @@ def _eval_src(src: str, path: str = "<viewer>"):
                 for s in res.shapes):
             mode = "2d"
         return list(res.shapes), {"size": None, "mode": mode,
-                                  "engine": None, "view": None}
+                                  "engine": None, "view": None,
+                                  "vars": dict(res.vars)}
     env = {"__builtins__": __builtins__}
     env.update({k: getattr(shapelib, k) for k in dir(shapelib)
                 if not k.startswith("_")})
-    for k in ("x", "y", "z", "const", "minimum", "maximum", "sqrt",
+    for k in ("x", "y", "z", "const", "var", "minimum", "maximum", "sqrt",
               "square", "sin", "cos", "tan", "asin", "acos", "atan",
               "exp", "log", "neg", "abs_", "atan2", "pow_", "nth_root",
               "compare", "recip", "Tree"):
@@ -219,12 +271,21 @@ def _eval_src(src: str, path: str = "<viewer>"):
     out = env.get("shapes")
     if out is None:
         out = [env["shape"]] if "shape" in env else []
+    # named parameters (var()): slider metadata with a default range
+    # around each value (Scheme's (var n v lo hi) can give exact ranges)
+    pvars = {}
+    for s in out:
+        for name, v in treelib.params_of(s).items():
+            span = max(abs(v), 1.0)
+            pvars[name] = (v, v - span, v + span)
     settings = {"size": env.get("SIZE"), "mode": env.get("MODE"),
-                "engine": env.get("ENGINE"), "view": env.get("VIEW", None)}
+                "engine": env.get("ENGINE"), "view": env.get("VIEW", None),
+                "vars": pvars}
     return list(out), settings
 
 
-def _save_frep(src: str, path: str, avoid: str = "") -> tuple:
+def _save_frep(src: str, path: str, avoid: str = "",
+               var_values: dict = None) -> tuple:
     """Serialize the script's shapes to ``<script-stem>.frep``
     (the GUI's save-shape feature, /root/reference/gui/main.cpp:394-403;
     archives round-trip through frontend/frep.py and load in the
@@ -234,10 +295,15 @@ def _save_frep(src: str, path: str, avoid: str = "") -> tuple:
     freeze every other request and the render worker — render_scene
     runs outside the lock for the same reason)."""
     from .frontend import frep as _frep
+    from .frontend import tree as _treelib
     try:
         shapes_, _ = _eval_src(src, path or "<viewer>")
         if not shapes_:
             raise ValueError("script defines no shape/shapes")
+        if var_values:
+            # bake slider edits into the saved archive (params stay
+            # params — const-var + 'V' records — at the new values)
+            shapes_ = [_treelib.with_params(s, var_values) for s in shapes_]
         stem = os.path.splitext(path)[0] if path else "scene"
         out_path = stem + ".frep"
         if avoid and os.path.abspath(out_path) == os.path.abspath(avoid):
@@ -251,17 +317,21 @@ def _save_frep(src: str, path: str, avoid: str = "") -> tuple:
         return "", f"save_frep failed: {e}"
 
 
-def _save_stl(src: str, path: str, size: int = 96) -> tuple:
+def _save_stl(src: str, path: str, size: int = 96,
+              var_values: dict = None) -> tuple:
     """Mesh the scene (union of its shapes) over [-1,1]^3 and write
     ``<script-stem>.stl`` (io/mesh.py) — the export-for-printing step;
     same locking contract as _save_frep.  Returns (written_path, error)."""
     from .frontend import shapes as shapelib
+    from .frontend import tree as _treelib
     from .io import mesh as _mesh
     from .tape.tape import compile_tree
     try:
         shapes_, _ = _eval_src(src, path or "<viewer>")
         if not shapes_:
             raise ValueError("script defines no shape/shapes")
+        if var_values:
+            shapes_ = [_treelib.with_params(s, var_values) for s in shapes_]
         tape = compile_tree(shapelib.union(*shapes_))
         tris = _mesh.mesh_tape(tape, n=size)
         if not len(tris):
@@ -295,14 +365,21 @@ def view_matrix(cam: dict, mode: str) -> np.ndarray:
 
 
 def render_scene(src: str, cam: dict, mode: str, size: int,
-                 engine: str = "interp", path: str = "<viewer>"):
-    """Render script text under the given camera; returns (rgb u8, ms).
+                 engine: str = "interp", path: str = "<viewer>",
+                 var_values: dict = None):
+    """Render script text under the given camera; returns
+    (rgb u8, ms, vars) where vars is {name: (value, lo, hi)} slider
+    metadata with ``var_values`` overrides applied.
 
     ``engine``: "interp" (no per-shape compile — editing) or "unrolled"
     (per-shape XLA compile on first use, faster frames — orbiting).
     ``path``: the backing file, if any — a ``.io``/``.py`` suffix decides
     the Scheme-vs-Python dispatch deterministically (content sniffing is
-    only the fallback for pathless editor buffers)."""
+    only the fallback for pathless editor buffers).
+    ``var_values``: named-parameter overrides (viewer sliders); applied
+    as pure imm-vector data, so the interp engine re-renders with NO
+    recompile of any kind (Tape.imms_with)."""
+    import dataclasses
     from .render import effects
     from .tape.tape import compile_tree
     if engine == "unrolled":
@@ -312,21 +389,36 @@ def render_scene(src: str, cam: dict, mode: str, size: int,
         from .render.pipeline2d import render2d
         from .render.pipeline3d import render3d
 
-    shapes, _ = _eval_src(src, path)
+    shapes, settings = _eval_src(src, path)
     if not shapes:
         raise ValueError("script defines no `shape` or `shapes`")
+    svars = dict(settings.get("vars") or {})
+    if var_values:
+        for name, v in var_values.items():
+            if name in svars:
+                _, lo, hi = svars[name]
+                svars[name] = (float(v), lo, hi)
+
+    def tape_of(s):
+        t = compile_tree(s)
+        if var_values:
+            ov = {k: v for k, v in var_values.items() if k in t.params}
+            if ov:
+                t = dataclasses.replace(t, imms=t.imms_with(ov))
+        return t
+
     mat = view_matrix(cam, mode)
     t0 = time.perf_counter()
     if mode == "2d":
         acc = np.zeros((size, size), bool)
         for s in shapes:
-            acc |= render2d(compile_tree(s), mat=mat, size=size)
+            acc |= render2d(tape_of(s), mat=mat, size=size)
         img = np.where(acc[::-1], 255, 0).astype(np.uint8)
     else:
         depth = np.zeros((size, size), np.int32)
         normals = np.zeros((size, size, 3), np.float32)
         for s in shapes:
-            d, n = render3d(compile_tree(s), mat=mat, size=size)
+            d, n = render3d(tape_of(s), mat=mat, size=size)
             win = d > depth
             depth = np.where(win, d, depth)
             normals = np.where(win[..., None], n, normals)
@@ -341,7 +433,7 @@ def render_scene(src: str, cam: dict, mode: str, size: int,
         else:
             sh = np.asarray(effects.draw_shaded(depth, normals))
             img = (sh * 255).astype(np.uint8)[::-1]
-    return img, (time.perf_counter() - t0) * 1e3
+    return img, (time.perf_counter() - t0) * 1e3, svars
 
 
 def _png_bytes(img) -> bytes:
@@ -379,16 +471,20 @@ def _render_worker(state: ViewerState, out=None):
             src, cam = state.src, dict(state.cam)
             mode, size, engine = state.mode, state.size, state.engine
             path = state.path or "<viewer>"
+            overrides = dict(state.var_overrides)
         try:
-            img, ms = render_scene(src, cam, mode, size, engine, path)
+            img, ms, svars = render_scene(src, cam, mode, size, engine,
+                                          path, var_values=overrides)
             png = _png_bytes(img)
             err = ""
         except Exception as e:  # script errors show in the page
-            png, ms, err = None, 0.0, f"{type(e).__name__}: {e}"
+            png, ms, err, svars = None, 0.0, f"{type(e).__name__}: {e}", None
         with state.lock:
             if png is not None:
                 state.png = png
                 state.ms = round(ms, 1)
+            if svars is not None:
+                state.vars = svars
             state.error = err
             state.seq += 1
         if out and png is not None:
@@ -455,6 +551,8 @@ def make_handler(state: ViewerState):
                         "engine": state.engine, "cam": dict(state.cam),
                         "error": state.error,
                         "script": os.path.basename(state.path),
+                        "vars": {k: list(v)
+                                 for k, v in sorted(state.vars.items())},
                     }).encode()
                 ctype = "application/json"
             elif self.path.startswith("/script"):
@@ -487,9 +585,18 @@ def make_handler(state: ViewerState):
                     # Snapshot under the lock, execute after releasing
                     # it — _save_frep runs the user script.
                     save_frep_args = (state.src, state.path,
-                                      state.data_path)
+                                      state.data_path,
+                                      dict(state.var_overrides))
                 if req.get("save_stl"):
-                    save_stl_args = (state.src, state.path)
+                    save_stl_args = (state.src, state.path, 96,
+                                     dict(state.var_overrides))
+                if "set_var" in req:
+                    # slider move: a pure imm-vector override — the
+                    # interp engine re-renders with no recompile
+                    name, value = req["set_var"]
+                    state.var_overrides[str(name)] = float(value)
+                if req.get("reset_vars"):
+                    state.var_overrides.clear()
                 if "mode" in req:
                     state.mode = str(req["mode"])
                 if "size" in req:
@@ -593,8 +700,8 @@ def render_script(path: str):
     state.path = path
     _, settings = _eval_src(src, path)
     _apply_script_settings(state, settings)
-    img, ms = render_scene(src, state.cam, state.mode, state.size,
-                           state.engine, path)
+    img, ms, _ = render_scene(src, state.cam, state.mode, state.size,
+                              state.engine, path)
     return img, {"mode": state.mode, "size": state.size,
                  "engine": state.engine}, ms
 
