@@ -9,6 +9,8 @@ resume or ship its result without recompiling the source tree.
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 
 from ..tape.tape import Tape
@@ -21,6 +23,8 @@ def save_tape(path: str, tape: Tape, imms=None) -> None:
         imms = imms[:tape.length]
     np.savez(path, ops=tape.ops, outs=tape.outs, lhss=tape.lhss,
              rhss=tape.rhss, imms=imms,
+             params=np.frombuffer(
+                 json.dumps(tape.params).encode(), np.uint8),
              meta=np.asarray([*tape.axis_slots, tape.result_slot,
                               tape.num_slots, tape.num_choices], np.int32))
 
@@ -28,8 +32,11 @@ def save_tape(path: str, tape: Tape, imms=None) -> None:
 def load_tape(path: str) -> Tape:
     with np.load(path) as z:
         m = z["meta"]
+        params = {}
+        if "params" in z.files:          # absent in pre-var checkpoints
+            params = json.loads(bytes(z["params"]).decode())
         return Tape(ops=z["ops"], outs=z["outs"], lhss=z["lhss"],
                     rhss=z["rhss"], imms=z["imms"],
                     axis_slots=(int(m[0]), int(m[1]), int(m[2])),
                     result_slot=int(m[3]), num_slots=int(m[4]),
-                    num_choices=int(m[5]))
+                    num_choices=int(m[5]), params=params)

@@ -76,6 +76,11 @@ def tape_to_tree(tape: Tape) -> T.Tree:
         slots[sy] = T.y()
     if sz:
         slots[sz] = T.z()
+    # named parameters survive the round trip: their COPY_IMM clauses
+    # decompile back to var() nodes (at the tape's CURRENT imm values —
+    # a fitted tape decompiles with the fitted var values)
+    param_at = {i: name for name, idxs in getattr(tape, "params", {}).items()
+                for i in idxs}
 
     def slot(s, i):
         v = slots.get(int(s))
@@ -100,7 +105,8 @@ def tape_to_tree(tape: Tape) -> T.Tree:
             else:
                 val = fn(slot(tape.lhss[i], i), slot(tape.rhss[i], i))
         elif op == int(Op.COPY_IMM):
-            val = T.const(imm)
+            name = param_at.get(i)
+            val = T.var(name, imm) if name else T.const(imm)
         elif op == int(Op.COPY_LHS):
             val = slot(tape.lhss[i], i)
         elif op == int(Op.COPY_RHS):

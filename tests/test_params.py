@@ -147,6 +147,23 @@ def test_frep_bare_var_free_loads_as_param():
     assert v[0] == np.float32(1.5)
 
 
+def test_params_survive_checkpoint_and_decompile(tmp_path):
+    """fit --out-frep chain: a fitted tape's .npz checkpoint keeps the
+    param mapping, and the decompiler emits var() nodes (at the fitted
+    values) so the exported .frep still declares the variable."""
+    from mpr_tpu.io import checkpoint
+    from mpr_tpu.tape.decompile import tape_to_tree
+    tape = compile_tree(shapes.circle(T.var("r", 0.5)))
+    p = str(tmp_path / "fit.npz")
+    checkpoint.save_tape(p, tape, imms=tape.imms_with({"r": 0.72}))
+    t2 = checkpoint.load_tape(p)
+    assert t2.params == tape.params
+    tr = tape_to_tree(t2)
+    assert T.params_of(tr) == {"r": pytest.approx(0.72)}
+    back = frep.loads(frep.dumps([frep.ArchiveShape(tree=tr)]))
+    assert T.params_of(back[0].tree) == {"r": pytest.approx(0.72)}
+
+
 # ---------------------------------------------------------------------------
 # Scheme (var ...) special form
 # ---------------------------------------------------------------------------

@@ -41,12 +41,12 @@ def test_view_matrix_modes():
 
 
 def test_render_scene_2d_and_3d():
-    img, ms = viewer.render_scene("shape = circle(0.5)",
+    img, ms, _ = viewer.render_scene("shape = circle(0.5)",
                                   {"yaw": 0, "pitch": 0, "persp": 0,
                                    "scale": 1.0, "panx": 0, "pany": 0},
                                   "2d", 128)
     assert img.shape == (128, 128) and img.max() == 255
-    img3, _ = viewer.render_scene(SCRIPT, {"yaw": 0.5, "pitch": -0.9,
+    img3, _, _ = viewer.render_scene(SCRIPT, {"yaw": 0.5, "pitch": -0.9,
                                            "persp": 0.3, "scale": 1.0,
                                            "panx": 0, "pany": 0},
                                   "heightmap", 128)
@@ -145,9 +145,9 @@ def test_render_scene_engine_toggle():
     oracle); ENGINE in the script sets the initial state."""
     cam = {"yaw": 0, "pitch": 0, "persp": 0, "scale": 1.0,
            "panx": 0, "pany": 0}
-    img_i, _ = viewer.render_scene("shape = circle(0.5)", cam, "2d", 128,
+    img_i, _, _ = viewer.render_scene("shape = circle(0.5)", cam, "2d", 128,
                                    engine="interp")
-    img_u, _ = viewer.render_scene("shape = circle(0.5)", cam, "2d", 128,
+    img_u, _, _ = viewer.render_scene("shape = circle(0.5)", cam, "2d", 128,
                                    engine="unrolled")
     assert (img_i == img_u).all()
 
@@ -193,7 +193,7 @@ def test_eval_src_scheme_dispatch():
 
 
 def test_render_scene_scheme_2d():
-    img, _ = viewer.render_scene(IO_SCRIPT,
+    img, _, _ = viewer.render_scene(IO_SCRIPT,
                                  {"yaw": 0, "pitch": 0, "persp": 0,
                                   "scale": 1.0, "panx": 0, "pany": 0},
                                  "2d", 128)
