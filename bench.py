@@ -106,7 +106,7 @@ def main():
         caps = r._caps2d(size)
 
         def frame(mat, size=size, caps=caps):
-            img, _ = r._r2(mat, z, size, *caps)
+            img, _ = r._r2(r._imms_j, mat, z, size, *caps)
             return img
 
         ms = time_frames(frame, mat, n=50, n0=5)

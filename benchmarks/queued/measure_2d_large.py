@@ -21,7 +21,7 @@ for size in (2048, 4096):
     r.render2d(size=size)   # snug tier
     caps = r._caps2d(size)
     def frame(mat, size=size, caps=caps):
-        img, _ = r._r2(mat, z, size, *caps)
+        img, _ = r._r2(r._imms_j, mat, z, size, *caps)
         return img
     ms = time_frames(frame, mat, n=20, n0=3)
     print(f"prospero 2D @{size} snug: {ms:.3f} ms", flush=True)

@@ -24,7 +24,7 @@ def measure(r, size=SIZE, n=20):
     if skip4:
         c2 = 256
     def frame(mat):
-        d, nrm, _ = r._r3(mat, size, p0, c1, c2, pn, True, skip4)
+        d, nrm, _ = r._r3(r._imms_j, mat, size, p0, c1, c2, pn, True, skip4)
         return d
     return time_frames(frame, mat, n=n, n0=3), skip4
 

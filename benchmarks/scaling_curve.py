@@ -161,11 +161,11 @@ def real_chip_overhead_unrolled(size: int = 1024):
     n64 = size // 64
 
     def frame_plain(mat):
-        img, _ = r._r2(mat, z, size, *caps)
+        img, _ = r._r2(r._imms_j, mat, z, size, *caps)
         return img
 
     def frame_sharded(mat):
-        img, _ = r._r2s(mat, z, size, caps[0], caps[1], mesh, n64)
+        img, _ = r._r2s(r._imms_j, mat, z, size, caps[0], caps[1], mesh, n64)
         return img
 
     ms_p = time_frames(frame_plain, mat, n=30, n0=4)

@@ -193,7 +193,7 @@ def cmd_table2d(args):
             caps = r._caps2d(size)
 
             def frame(mat):
-                img, _ = r._r2(mat, z, size, *caps)
+                img, _ = r._r2(r._imms_j, mat, z, size, *caps)
                 return img
             return frame, (mat,)
     else:
@@ -238,7 +238,7 @@ def cmd_table3d(args):
                 caps = (caps[0], caps[1], 256, caps[3])
 
             def frame(mat):
-                depth, normals, _ = r._r3(mat, size, *caps, True, skip4)
+                depth, normals, _ = r._r3(r._imms_j, mat, size, *caps, True, skip4)
                 return depth
             return frame, (mat,)
     else:

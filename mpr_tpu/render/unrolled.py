@@ -233,27 +233,32 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
 
 
 def _render2d_sharded_impl(fi, f, mat, z, size: int, p64: int, p8: int,
-                           mesh, rows: int):
+                           mesh, rows: int, imms=None):
     """Multi-chip 2D ladder: each mesh device renders one slab of
     ``rows`` 64px tile rows through the full unrolled pipeline
     (slab-local culling; caps are per slab), and the output sharding
     reassembles the image — one gather, the only per-frame collective
     (SURVEY.md §2.5).  Counters come back per-device so the host's
-    overflow-retry can take the max."""
+    overflow-retry can take the max.  ``imms`` (imm-input renderers) is
+    replicated to every device — parameter edits stay shard-oblivious."""
     from jax import lax
     from jax.sharding import PartitionSpec as P
 
-    def local(mat, z):
+    def local(mat, z, *im):
+        fi_ = (lambda *a: fi(*a, imms=im[0])) if im else fi
+        f_ = (lambda *a: f(*a, imms=im[0])) if im else f
         r0 = (lax.axis_index("dp") * mesh.shape["sp"]
               + lax.axis_index("sp")) * rows
-        img, cnt = _render2d_impl(fi, f, mat, z, size, p64, p8,
+        img, cnt = _render2d_impl(fi_, f_, mat, z, size, p64, p8,
                                   r0=r0, rows64=rows)
         return img, cnt[None]
 
-    g = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+    extra = () if imms is None else (imms,)
+    g = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P()) + (P(),) * len(extra),
                       out_specs=(P(("dp", "sp"), None),
                                  P(("dp", "sp"), None)), check_vma=False)
-    return g(mat, z)
+    return g(mat, z, *extra)
 
 
 # ---------------------------------------------------------------------------
@@ -514,7 +519,7 @@ def _normals_pass(fd, mat, depth, size: int, pn: int, counters,
 
 def _render3d_sharded_impl(fi, f, fd, mat, size: int, p0: int, c1: int,
                            c2: int, pn: int, with_normals: bool,
-                           skip4: bool, mesh, rows: int):
+                           skip4: bool, mesh, rows: int, imms=None):
     """Multi-chip 3D ladder: one slab of 64px tile rows per mesh device
     (full z columns per slab, so the heightmap occlusion culling is
     exact without any cross-device exchange); depth/normal slabs are
@@ -523,10 +528,13 @@ def _render3d_sharded_impl(fi, f, fd, mat, size: int, p0: int, c1: int,
     from jax import lax
     from jax.sharding import PartitionSpec as P
 
-    def local(mat):
+    def local(mat, *im):
+        bind = (lambda fn: (lambda *a: fn(*a, imms=im[0]))) if im \
+            else (lambda fn: fn)
         r0 = (lax.axis_index("dp") * mesh.shape["sp"]
               + lax.axis_index("sp")) * rows
-        depth, nimg, cnt = _render3d_impl(fi, f, fd, mat, size, p0, c1,
+        depth, nimg, cnt = _render3d_impl(bind(fi), bind(f), bind(fd),
+                                          mat, size, p0, c1,
                                           c2, pn, with_normals, skip4,
                                           r0=r0, rows=rows)
         if nimg is None:
@@ -538,9 +546,11 @@ def _render3d_sharded_impl(fi, f, fd, mat, size: int, p0: int, c1: int,
                      P(("dp", "sp"), None))
     else:
         out_specs = (P(("dp", "sp"), None), P(("dp", "sp"), None))
-    g = jax.shard_map(local, mesh=mesh, in_specs=(P(),),
+    extra = () if imms is None else (imms,)
+    g = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(),) + (P(),) * len(extra),
                       out_specs=out_specs, check_vma=False)
-    return g(mat)
+    return g(mat, *extra)
 
 
 # ---------------------------------------------------------------------------
@@ -558,61 +568,98 @@ def _bucket(x: int, floor: int, ceil_: int) -> int:
     return min(b, ceil_)
 
 
-def tape_key(tape: Tape) -> str:
+def tape_key(tape: Tape, imm_inputs: bool = False) -> str:
     """Cache key for a renderer: the tape contents PLUS the semantic
     config flags the unrolled evaluators latch at build time
     (tight_sincos / fast_transcendentals).  Including them here means
     ``config.override(tight_sincos=True)`` builds a distinct renderer
     (and a distinct obs file — the flags change ambiguity counts)
     instead of silently reusing an executable traced under the other
-    semantics."""
+    semantics.
+
+    With ``imm_inputs`` the key is STRUCTURAL: the immediates are
+    runtime inputs of the compiled functions (libfive CONST_VAR spirit,
+    frontend var()), so two tapes differing only in constants share one
+    executable — a slider drag or fit step never recompiles."""
     from .. import config as _config
     cfg = _config.get()
     h = hashlib.sha1()
-    for a in (tape.ops, tape.outs, tape.lhss, tape.rhss, tape.imms):
+    planes = (tape.ops, tape.outs, tape.lhss, tape.rhss) if imm_inputs \
+        else (tape.ops, tape.outs, tape.lhss, tape.rhss, tape.imms)
+    for a in planes:
         h.update(np.ascontiguousarray(a).tobytes())
     h.update(bytes(tape.axis_slots) + bytes([tape.result_slot]))
-    h.update(bytes([cfg.tight_sincos, cfg.fast_transcendentals]))
+    h.update(bytes([cfg.tight_sincos, cfg.fast_transcendentals,
+                    imm_inputs]))
     return h.hexdigest()
 
 
 class UnrolledRenderer:
-    """Per-tape compiled render functions + observed-count cap memory."""
+    """Per-tape compiled render functions + observed-count cap memory.
 
-    def __init__(self, tape: Tape):
+    ``imm_inputs=True`` compiles the immediates as runtime INPUTS rather
+    than baked constants: the executable (and its persistent-cache entry)
+    is keyed by tape STRUCTURE only, so constant-level edits — viewer
+    slider drags (frontend var()), ``cli --set``, fit steps — re-render
+    with zero recompilation.  Baked mode (the default) lets XLA constant-
+    fold the immediates and is what the headline benchmarks measure; the
+    A/B cost of imm-input mode is recorded in docs/perf_notes.md."""
+
+    def __init__(self, tape: Tape, imm_inputs: bool = False):
         from ..utils import compcache
         compcache.enable()
         self.tape = tape
-        self._key = tape_key(tape)
-        self.f = ue.build_float(tape)
-        self.fi = ue.build_interval(tape)
-        self.fd = ue.build_deriv(tape)
+        self.imm_inputs = bool(imm_inputs)
+        self._key = tape_key(tape, self.imm_inputs)
+        self.f = ue.build_float(tape, take_imms=self.imm_inputs)
+        self.fi = ue.build_interval(tape, take_imms=self.imm_inputs)
+        self.fd = ue.build_deriv(tape, take_imms=self.imm_inputs)
+        self._imms_j = jnp.asarray(np.asarray(tape.imms, np.float32))
+        if self.imm_inputs:
+            def bind(fn, imms):
+                return lambda *a: fn(*a, imms=imms)
+        else:
+            def bind(fn, imms):
+                return fn
         self._r2 = jax.jit(
-            lambda mat, z, size, p64, p8:
-            _render2d_impl(self.fi, self.f, mat, z, size, p64, p8),
+            lambda imms, mat, z, size, p64, p8:
+            _render2d_impl(bind(self.fi, imms), bind(self.f, imms),
+                           mat, z, size, p64, p8),
             static_argnames=("size", "p64", "p8"))
         self._r2s = jax.jit(
-            lambda mat, z, size, p64, p8, mesh, rows:
+            lambda imms, mat, z, size, p64, p8, mesh, rows:
             _render2d_sharded_impl(self.fi, self.f, mat, z, size, p64, p8,
-                                   mesh, rows),
+                                   mesh, rows,
+                                   imms=imms if self.imm_inputs else None),
             static_argnames=("size", "p64", "p8", "mesh", "rows"))
         self._r3 = jax.jit(
-            lambda mat, size, p0, c1, c2, pn, with_normals, skip4:
-            _render3d_impl(self.fi, self.f, self.fd, mat, size,
+            lambda imms, mat, size, p0, c1, c2, pn, with_normals, skip4:
+            _render3d_impl(bind(self.fi, imms), bind(self.f, imms),
+                           bind(self.fd, imms), mat, size,
                            p0, c1, c2, pn, with_normals, skip4),
             static_argnames=("size", "p0", "c1", "c2", "pn",
                              "with_normals", "skip4"))
         self._r3s = jax.jit(
-            lambda mat, size, p0, c1, c2, pn, with_normals, skip4, mesh,
-            rows:
+            lambda imms, mat, size, p0, c1, c2, pn, with_normals, skip4,
+            mesh, rows:
             _render3d_sharded_impl(self.fi, self.f, self.fd, mat, size,
                                    p0, c1, c2, pn, with_normals, skip4,
-                                   mesh, rows),
+                                   mesh, rows,
+                                   imms=imms if self.imm_inputs else None),
             static_argnames=("size", "p0", "c1", "c2", "pn",
                              "with_normals", "skip4", "mesh", "rows"))
         self._obs: Dict = compcache.load_obs(self._key)
         self._hits: Dict = {}
         self._skip4_age: Dict = {}
+
+    def _imms_arg(self, imms):
+        """Resolve a render call's imms override (None = the tape's own)."""
+        if imms is None:
+            return self._imms_j
+        if not self.imm_inputs:
+            raise ValueError("imms overrides need imm_inputs=True "
+                             "(get_renderer(tape, imm_inputs=True))")
+        return jnp.asarray(imms, jnp.float32)
 
     def _record(self, key, counts) -> None:
         from ..utils import compcache
@@ -658,13 +705,15 @@ class UnrolledRenderer:
         return (min(n64 * n64, max(64, n64 * n64 // 2 + 4 * n64)),
                 min(n8 * n8, max(512, n8 * n8 // 3)))
 
-    def render2d(self, mat=None, z: float = 0.0, size: int = 256):
+    def render2d(self, mat=None, z: float = 0.0, size: int = 256,
+                 imms=None):
         mat = camera.identity2() if mat is None else np.asarray(
             mat, np.float32)
+        im = self._imms_arg(imms)
         p64, p8 = self._caps2d(size)
         n64, n8 = size // 64, size // 8
         while True:
-            img, cnt = self._r2(jnp.asarray(mat), jnp.float32(z), size,
+            img, cnt = self._r2(im, jnp.asarray(mat), jnp.float32(z), size,
                                 p64, p8)
             a64, a8 = (int(v) for v in np.asarray(cnt))
             self._record(("2d", size), (a64, a8))
@@ -676,7 +725,7 @@ class UnrolledRenderer:
             p8 = _bucket(a8, 512, n8 * n8)
 
     def render2d_sharded(self, mat=None, z: float = 0.0, size: int = 256,
-                         mesh=None):
+                         mesh=None, imms=None):
         """Multi-chip unrolled 2D render: the production engine sharded
         over a device mesh — each device owns a slab of 64px tile rows
         (see _render2d_sharded_impl).  Same contract as render2d."""
@@ -706,8 +755,8 @@ class UnrolledRenderer:
             p64 = min(rows * n64, max(64, rows * n64 // 2 + 4 * n64))
             p8 = min(rows * n64 * 64, max(512, rows * n64 * 64 // 3))
         while True:
-            img, cnts = self._r2s(jnp.asarray(mat), jnp.float32(z), size,
-                                  p64, p8, mesh, rows)
+            img, cnts = self._r2s(self._imms_arg(imms), jnp.asarray(mat),
+                                  jnp.float32(z), size, p64, p8, mesh, rows)
             a = np.asarray(cnts).max(axis=0)       # worst slab governs
             a64, a8 = int(a[0]), int(a[1])
             self._record(key, (a64, a8))
@@ -782,9 +831,11 @@ class UnrolledRenderer:
         self._skip4_age[key] = age + 1
         return True
 
-    def render3d(self, mat=None, size: int = 256, with_normals: bool = True):
+    def render3d(self, mat=None, size: int = 256, with_normals: bool = True,
+                 imms=None):
         mat = camera.identity3() if mat is None else np.asarray(
             mat, np.float32)
+        im = self._imms_arg(imms)
         key = ("3d", size)
         p0, c1, c2, pn = self._caps3d(size, with_normals)
         skip4 = self._skip4_decide(key)
@@ -792,8 +843,8 @@ class UnrolledRenderer:
             c2 = 256
         n = size // 64
         while True:
-            depth, normals, cnt = self._r3(jnp.asarray(mat), size, p0, c1,
-                                           c2, pn, with_normals, skip4)
+            depth, normals, cnt = self._r3(im, jnp.asarray(mat), size, p0,
+                                           c1, c2, pn, with_normals, skip4)
             a0, a1, a2, aN = (int(v) for v in np.asarray(cnt))
             prev = self._obs.get(key, (0, 0, 0, 1))
             if not with_normals:
@@ -812,7 +863,7 @@ class UnrolledRenderer:
             pn = max(pn, _bucket(aN, 16, n * n))
 
     def render3d_sharded(self, mat=None, size: int = 256, mesh=None,
-                         with_normals: bool = True):
+                         with_normals: bool = True, imms=None):
         """Multi-chip unrolled 3D render: each device owns a slab of
         64px tile rows (full z columns — occlusion culling stays exact
         slab-locally) and runs the whole ladder; the output sharding
@@ -833,8 +884,8 @@ class UnrolledRenderer:
         if skip4:
             c2 = 256
         while True:
-            out = self._r3s(jnp.asarray(mat), size, p0, c1, c2, pn,
-                            with_normals, skip4, mesh, rows)
+            out = self._r3s(self._imms_arg(imms), jnp.asarray(mat), size,
+                            p0, c1, c2, pn, with_normals, skip4, mesh, rows)
             if with_normals:
                 depth, normals, cnts = out
             else:
@@ -862,22 +913,35 @@ class UnrolledRenderer:
 _RENDERERS: Dict[str, UnrolledRenderer] = {}
 
 
-def get_renderer(tape: Tape) -> UnrolledRenderer:
-    key = tape_key(tape)
+def get_renderer(tape: Tape, imm_inputs: bool = False) -> UnrolledRenderer:
+    key = tape_key(tape, imm_inputs)
     r = _RENDERERS.get(key)
     if r is None:
-        r = UnrolledRenderer(tape)
+        r = UnrolledRenderer(tape, imm_inputs)
         _RENDERERS[key] = r
+    elif imm_inputs:
+        # structural key: reuse the executables, but adopt the caller's
+        # tape (its imms become the new default imm vector)
+        r.tape = tape
+        r._imms_j = jnp.asarray(np.asarray(tape.imms, np.float32))
     return r
 
 
 def render2d(tape: Tape, mat=None, z: float = 0.0,
              size: int = 256) -> np.ndarray:
-    """Unrolled-engine 2D render; same contract as pipeline2d.render2d."""
-    return get_renderer(tape).render2d(mat, z, size)
+    """Unrolled-engine 2D render; same contract as pipeline2d.render2d.
+
+    Tapes with named parameters (frontend var()) get imm-input
+    renderers: one compile per shape STRUCTURE, so viewer sliders /
+    ``cli --set`` / fit loops re-render parameter edits with zero
+    recompilation."""
+    return get_renderer(tape, imm_inputs=bool(tape.params)).render2d(
+        mat, z, size)
 
 
 def render3d(tape: Tape, mat=None, size: int = 256,
              with_normals: bool = True):
-    """Unrolled-engine 3D render; same contract as pipeline3d.render3d."""
-    return get_renderer(tape).render3d(mat, size, with_normals)
+    """Unrolled-engine 3D render; same contract as pipeline3d.render3d.
+    Parameter-carrying tapes use imm-input renderers (see render2d)."""
+    return get_renderer(tape, imm_inputs=bool(tape.params)).render3d(
+        mat, size, with_normals)

@@ -386,6 +386,8 @@ def render_scene(src: str, cam: dict, mode: str, size: int,
     from .render.pipeline3d import render3d as render3d_i
     if engine == "unrolled":
         from .render import unrolled
+        # param-carrying tapes get imm-input renderers inside these
+        # helpers: slider drags are pure data, never a recompile
         render2d, render3d = unrolled.render2d, unrolled.render3d
     else:
         render2d, render3d = render2d_i, render3d_i
@@ -401,32 +403,32 @@ def render_scene(src: str, cam: dict, mode: str, size: int,
                 svars[name] = (float(v), lo, hi)
 
     def tape_of(s):
-        """(tape, overridden?) — overridden tapes must render through
-        the interp engine: its executables take imms as data (the whole
-        point of vars), while the unrolled engine bakes them into the
-        compiled graph, so every slider position would be a fresh
-        multi-minute XLA compile."""
+        """Slider overrides are pure imm-vector data on BOTH engines:
+        the interp executables take imms as data by construction, and
+        unrolled.render2d/3d use imm-input renderers (keyed by tape
+        STRUCTURE, render/unrolled.py::tape_key) for any tape with named
+        parameters — so no slider position ever recompiles anything."""
         t = compile_tree(s)
         if var_values:
             ov = {k: v for k, v in var_values.items() if k in t.params}
             if ov:
-                return dataclasses.replace(t, imms=t.imms_with(ov)), True
-        return t, False
+                return dataclasses.replace(t, imms=t.imms_with(ov))
+        return t
 
     mat = view_matrix(cam, mode)
     t0 = time.perf_counter()
     if mode == "2d":
         acc = np.zeros((size, size), bool)
         for s in shapes:
-            t, ov = tape_of(s)
-            acc |= (render2d_i if ov else render2d)(t, mat=mat, size=size)
+            t = tape_of(s)
+            acc |= render2d(t, mat=mat, size=size)
         img = np.where(acc[::-1], 255, 0).astype(np.uint8)
     else:
         depth = np.zeros((size, size), np.int32)
         normals = np.zeros((size, size, 3), np.float32)
         for s in shapes:
-            t, ov = tape_of(s)
-            d, n = (render3d_i if ov else render3d)(t, mat=mat, size=size)
+            t = tape_of(s)
+            d, n = render3d(t, mat=mat, size=size)
             win = d > depth
             depth = np.where(win, d, depth)
             normals = np.where(win[..., None], n, normals)

@@ -388,3 +388,52 @@ def test_render3d_slab_composition(spheres_tape):
     n_cat = np.concatenate(nslabs, axis=0)
     m = d_full > 0
     np.testing.assert_allclose(n_cat[m], n_full[m], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# imm-input mode: immediates as runtime inputs (structural executables)
+# ---------------------------------------------------------------------------
+
+def test_imm_inputs_matches_baked(spheres_tape):
+    """imm-input renderers run the identical arithmetic — images must be
+    bit-equal to the baked-constant engine on both ladders."""
+    rb = unrolled.get_renderer(spheres_tape)
+    ri = unrolled.get_renderer(spheres_tape, imm_inputs=True)
+    assert ri is not rb
+    assert (rb.render2d(size=128) == ri.render2d(size=128)).all()
+    db, nb = rb.render3d(size=128)
+    di, ni = ri.render3d(size=128)
+    assert (db == di).all()
+    np.testing.assert_array_equal(nb, ni)
+
+
+def test_imm_override_matches_recompile():
+    """render(imms=...) on a structural executable must equal a fresh
+    compile of the edited tape — the no-recompile contract of viewer
+    sliders / cli --set on the production engine."""
+    t_a = compile_tree(shapes.circle(0.62))
+    t_b = compile_tree(shapes.circle(0.31))
+    assert unrolled.tape_key(t_a, True) == unrolled.tape_key(t_b, True)
+    r = unrolled.get_renderer(t_a, imm_inputs=True)
+    want = brute.render2d_brute(t_b, size=128)
+    got = r.render2d(size=128, imms=t_b.imms)
+    assert (got == want).all()
+    # and the structural renderer cache hands back the same instance
+    assert unrolled.get_renderer(t_b, imm_inputs=True) is r
+
+
+def test_imm_override_rejected_when_baked(spheres_tape):
+    r = unrolled.get_renderer(spheres_tape)
+    with pytest.raises(ValueError, match="imm_inputs"):
+        r.render2d(size=128, imms=spheres_tape.imms)
+
+
+def test_imm_inputs_sharded_matches(spheres_tape):
+    """The replicated-imms path through shard_map (1x1 mesh here; the
+    virtual 8-device mesh is covered by test_parallel.py)."""
+    from mpr_tpu.parallel.sharded import make_mesh
+    mesh = make_mesh(n_devices=1)
+    ri = unrolled.get_renderer(spheres_tape, imm_inputs=True)
+    a = ri.render2d(size=128)
+    b = ri.render2d_sharded(size=128, mesh=mesh)
+    assert (a == b).all()
