@@ -46,6 +46,13 @@ class Config:
     # ns/clause, docs/perf_notes.md); flip the default once measured on a
     # real chip.
     fast_transcendentals: bool = False
+    # -- unrolled-engine compile effort ---------------------------------------
+    # XLA's exec_time_optimization_effort for the unrolled engine's
+    # per-shape compiles: 0.0 = XLA default; negative trades runtime for
+    # compile wall time (the unrolled engine's first-frame latency).
+    # See docs/perf_notes.md round 3 for the measured trade on v5e; the
+    # benchmark path keeps 0.0.
+    compile_effort: float = 0.0
 
 
 _active = Config()

@@ -591,6 +591,7 @@ def tape_key(tape: Tape, imm_inputs: bool = False) -> str:
     h.update(bytes(tape.axis_slots) + bytes([tape.result_slot]))
     h.update(bytes([cfg.tight_sincos, cfg.fast_transcendentals,
                     imm_inputs]))
+    h.update(np.float32(cfg.compile_effort).tobytes())
     return h.hexdigest()
 
 
@@ -607,10 +608,18 @@ class UnrolledRenderer:
 
     def __init__(self, tape: Tape, imm_inputs: bool = False):
         from ..utils import compcache
+        from .. import config as _config
         compcache.enable()
         self.tape = tape
         self.imm_inputs = bool(imm_inputs)
         self._key = tape_key(tape, self.imm_inputs)
+        # XLA optimization-effort trade for the per-shape compiles
+        # (config.compile_effort; 0.0 = backend default).  Latched at
+        # build time like the semantic flags above.
+        effort = float(_config.get().compile_effort)
+        jit = jax.jit if effort == 0.0 else partial(
+            jax.jit, compiler_options={
+                "exec_time_optimization_effort": effort})
         self.f = ue.build_float(tape, take_imms=self.imm_inputs)
         self.fi = ue.build_interval(tape, take_imms=self.imm_inputs)
         self.fd = ue.build_deriv(tape, take_imms=self.imm_inputs)
@@ -621,25 +630,25 @@ class UnrolledRenderer:
         else:
             def bind(fn, imms):
                 return fn
-        self._r2 = jax.jit(
+        self._r2 = jit(
             lambda imms, mat, z, size, p64, p8:
             _render2d_impl(bind(self.fi, imms), bind(self.f, imms),
                            mat, z, size, p64, p8),
             static_argnames=("size", "p64", "p8"))
-        self._r2s = jax.jit(
+        self._r2s = jit(
             lambda imms, mat, z, size, p64, p8, mesh, rows:
             _render2d_sharded_impl(self.fi, self.f, mat, z, size, p64, p8,
                                    mesh, rows,
                                    imms=imms if self.imm_inputs else None),
             static_argnames=("size", "p64", "p8", "mesh", "rows"))
-        self._r3 = jax.jit(
+        self._r3 = jit(
             lambda imms, mat, size, p0, c1, c2, pn, with_normals, skip4:
             _render3d_impl(bind(self.fi, imms), bind(self.f, imms),
                            bind(self.fd, imms), mat, size,
                            p0, c1, c2, pn, with_normals, skip4),
             static_argnames=("size", "p0", "c1", "c2", "pn",
                              "with_normals", "skip4"))
-        self._r3s = jax.jit(
+        self._r3s = jit(
             lambda imms, mat, size, p0, c1, c2, pn, with_normals, skip4,
             mesh, rows:
             _render3d_sharded_impl(self.fi, self.f, self.fd, mat, size,
