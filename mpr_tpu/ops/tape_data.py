@@ -126,6 +126,35 @@ class TapeData:
                         self.num_choices, self.ops_present, self.num_runs)
 
 
+def _serialize_aux(aux) -> bytes:
+    import json
+    (length, num_slots, axis_slots, result_slot, num_choices,
+     ops_present, num_runs) = aux
+    return json.dumps([length, num_slots, list(axis_slots), result_slot,
+                       num_choices, list(ops_present), num_runs]).encode()
+
+
+def _deserialize_aux(data: bytes):
+    import json
+    (length, num_slots, axis_slots, result_slot, num_choices,
+     ops_present, num_runs) = json.loads(data)
+    return (length, num_slots, tuple(axis_slots), result_slot,
+            num_choices, tuple(ops_present), num_runs)
+
+
+try:
+    # lets jax.export artifacts (utils/compcache.cached_lowering) take a
+    # TapeData pytree as a runtime argument — the interp pipeline's tape
+    # planes stay inputs, so one persisted lowering serves every tape
+    # sharing the padded bucket + static metadata
+    jax.export.register_pytree_node_serialization(
+        TapeData, serialized_name="mpr_tpu.ops.tape_data.TapeData",
+        serialize_auxdata=_serialize_aux,
+        deserialize_auxdata=_deserialize_aux)
+except AttributeError:                       # older jax: no export API
+    pass
+
+
 def unpack_fields(word):
     """Split a packed int32 clause into (op, out, lhs, rhs) scalars/arrays."""
     op = word & 0xFF

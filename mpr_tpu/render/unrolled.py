@@ -144,6 +144,69 @@ def _mat3_interval(mat, xl, xh, yl, yh):
 # 2D pipeline: 64px -> 8px -> pixel
 # ---------------------------------------------------------------------------
 
+def _stages2d(fi, mat, z, size: int, p64: int, p8: int, r0, rows64: int,
+              delta: float = 0.0):
+    """Interval stages of the 2D ladder: 64px classification -> ambiguous
+    compaction -> 8px classification -> ambiguous compaction.  Shared by
+    the boolean render (_render2d_impl) and the differentiable soft
+    render (_soft_render2d_impl).
+
+    ``delta`` widens the cull test to |f| > delta (classify lo-delta,
+    hi+delta): 0 for exact rendering; the soft-fit path passes ~4/
+    sharpness so tiles whose tanh is not yet saturated stay ambiguous
+    and keep their gradient."""
+    n64 = size // 64
+    n8 = size // 8
+    barrier = _get_barrier()
+
+    # ---- stage 1: 64px tiles (t = ty*n64 + tx, slab-global ids) ----------
+    t = r0 * n64 + jnp.arange(rows64 * n64, dtype=jnp.int32)
+    xl, xh = _axis_box(t % n64, n64)
+    yl, yh = _axis_box(t // n64, n64)
+    bxl, bxh, byl, byh = barrier(_mat3_interval(mat, xl, xh, yl, yh))
+    zc = jnp.full_like(bxl, z)
+    lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
+    st64 = _classify(lo - delta, hi + delta)
+    ids64, n64a = barrier(_compact_ids(st64 == ST_AMBIG, p64))
+
+    # ---- stage 2: 8px children (c = cy*8 + cx) ---------------------------
+    # per-parent coordinates, lanes by broadcast; ids64 are slab-local
+    # lane ids, so the y coordinate gets the slab offset back
+    tx_p = ids64 % n64
+    ty_p = ids64 // n64 + r0
+    c = jnp.arange(64, dtype=jnp.int32)
+    gx8 = (tx_p[:, None] * 8 + (c % 8)[None, :]).reshape(-1)
+    gy8 = (ty_p[:, None] * 8 + (c // 8)[None, :]).reshape(-1)
+    xl, xh = _axis_box(gx8, n8)
+    yl, yh = _axis_box(gy8, n8)
+    bxl, bxh, byl, byh = barrier(_mat3_interval(mat, xl, xh, yl, yh))
+    zc = jnp.full_like(bxl, z)
+    lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
+    lane_ok = jnp.arange(p64 * 64, dtype=jnp.int32) < (
+        jnp.minimum(n64a, p64) * 64)
+    st8c = jnp.where(lane_ok, _classify(lo - delta, hi + delta), ST_EMPTY)
+    ids8, n8a = barrier(_compact_ids(st8c == ST_AMBIG, p8))
+    return st64, ids64, n64a, st8c, ids8, n8a, gx8, gy8
+
+
+def _st8_image(st64, st8c, ids64, n64a, size: int, rows64: int,
+               p64: int):
+    """Upsample statuses to 8px granularity: parent statuses broadcast,
+    ambiguous parents' children take their own statuses (the
+    copy_filled_2d upsample analog, /root/reference/src/context.cu:
+    664-692).  Flat (rows64*8 * size//8,) slab-local status plane."""
+    n64 = size // 64
+    n8 = size // 8
+    stblk = jnp.broadcast_to(st64[:, None], (rows64 * n64, 64))
+    rowpar = jnp.where(jnp.arange(p64) < jnp.minimum(n64a, p64),
+                       ids64, rows64 * n64)
+    stblk = jnp.concatenate([stblk, jnp.zeros((1, 64), jnp.int32)])
+    stblk = stblk.at[rowpar].set(st8c.reshape(p64, 64),
+                                 mode="drop")[:rows64 * n64]
+    return stblk.reshape(rows64, n64, 8, 8).transpose(
+        0, 2, 1, 3).reshape(-1)
+
+
 def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
                    r0=None, rows64: Optional[int] = None):
     """2D ladder.  Index discipline (measured XLA TPU pathologies,
@@ -165,34 +228,8 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
     r0 = jnp.int32(0 if r0 is None else r0)
     rows8 = rows64 * 8
     barrier = _get_barrier()
-
-    # ---- stage 1: 64px tiles (t = ty*n64 + tx, slab-global ids) ----------
-    t = r0 * n64 + jnp.arange(rows64 * n64, dtype=jnp.int32)
-    xl, xh = _axis_box(t % n64, n64)
-    yl, yh = _axis_box(t // n64, n64)
-    bxl, bxh, byl, byh = barrier(_mat3_interval(mat, xl, xh, yl, yh))
-    zc = jnp.full_like(bxl, z)
-    lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
-    st64 = _classify(lo, hi)
-    ids64, n64a = barrier(_compact_ids(st64 == ST_AMBIG, p64))
-
-    # ---- stage 2: 8px children (c = cy*8 + cx) ---------------------------
-    # per-parent coordinates, lanes by broadcast; ids64 are slab-local
-    # lane ids, so the y coordinate gets the slab offset back
-    tx_p = ids64 % n64
-    ty_p = ids64 // n64 + r0
-    c = jnp.arange(64, dtype=jnp.int32)
-    gx8 = (tx_p[:, None] * 8 + (c % 8)[None, :]).reshape(-1)
-    gy8 = (ty_p[:, None] * 8 + (c // 8)[None, :]).reshape(-1)
-    xl, xh = _axis_box(gx8, n8)
-    yl, yh = _axis_box(gy8, n8)
-    bxl, bxh, byl, byh = barrier(_mat3_interval(mat, xl, xh, yl, yh))
-    zc = jnp.full_like(bxl, z)
-    lo, hi = fi(bxl, bxh, byl, byh, zc, zc)
-    lane_ok = jnp.arange(p64 * 64, dtype=jnp.int32) < (
-        jnp.minimum(n64a, p64) * 64)
-    st8c = jnp.where(lane_ok, _classify(lo, hi), ST_EMPTY)
-    ids8, n8a = barrier(_compact_ids(st8c == ST_AMBIG, p8))
+    st64, ids64, n64a, st8c, ids8, n8a, gx8, gy8 = _stages2d(
+        fi, mat, z, size, p64, p8, r0, rows64)
 
     # ---- stage 3: pixels of ambiguous 8px tiles --------------------------
     gx8_c = barrier(gx8[ids8])          # one gather layer per stage
@@ -213,20 +250,80 @@ def _render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
     # their own statuses (the copy_filled_2d upsample analog,
     # /root/reference/src/context.cu:664-692).  All row indices are
     # slab-local (ids64 already is; gy8_c needs the slab offset removed).
-    stblk = jnp.broadcast_to(st64[:, None], (rows64 * n64, 64))
-    rowpar = jnp.where(jnp.arange(p64) < jnp.minimum(n64a, p64),
-                       ids64, rows64 * n64)
-    stblk = jnp.concatenate([stblk, jnp.zeros((1, 64), jnp.int32)])
-    stblk = stblk.at[rowpar].set(st8c.reshape(p64, 64),
-                                 mode="drop")[:rows64 * n64]
-    st8img = stblk.reshape(rows64, n64, 8, 8).transpose(
-        0, 2, 1, 3).reshape(-1)
+    st8img = _st8_image(st64, st8c, ids64, n64a, size, rows64, p64)
     blocks = jnp.broadcast_to((st8img == ST_FILLED)[:, None],
                               (rows8 * n8, 64))
     rowp = jnp.where(jnp.arange(p8) < jnp.minimum(n8a, p8),
                      (gy8_c - r0 * 8) * n8 + gx8_c, rows8 * n8)
     blocks = jnp.concatenate([blocks, jnp.zeros((1, 64), blocks.dtype)])
     blocks = blocks.at[rowp].set(fillpx, mode="drop")[:rows8 * n8]
+    img = blocks.reshape(rows8, n8, 8, 8).transpose(0, 2, 1, 3)
+    counters = jnp.stack([n64a, n8a])
+    return img.reshape(rows64 * 64, size), counters
+
+
+def _soft_render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
+                        sharpness: float, r0=None,
+                        rows64: Optional[int] = None):
+    """Differentiable soft render restricted to ambiguous tiles — the
+    culled-pipeline VJP (SURVEY.md §7 step 6's second half).
+
+    ``fi`` must be bound to STOP-GRADIENT immediates, ``f`` to the live
+    (differentiable) ones: the interval ladder is inference-only
+    forward structure (straight-through convention, like the reference's
+    Deriv treating min/max discontinuously,
+    /root/reference/inc/gpu_deriv.hpp:106-130), while gradients flow
+    through the per-pixel soft values and their scatter into the
+    composed image.
+
+    Culling is sound for gradients because the classification is
+    widened by delta = 4/sharpness (_stages2d ``delta``): a culled tile
+    has |f| > delta everywhere, so its pixels' tanh(-sharpness*f) sits
+    within tanh(4)≈1-2.5e-4 of saturation and d(soft)/d(imms) is
+    O(sech²(4))≈1.3e-3 of a boundary pixel's — the dense and culled
+    losses agree to that tolerance while the culled cost is
+    O(ambiguous tiles), not O(size²).
+
+    Returns ((rows64*64, size) f32 soft image, (2,) exact counters)."""
+    n64 = size // 64
+    n8 = size // 8
+    if rows64 is None:
+        rows64 = n64
+    r0 = jnp.int32(0 if r0 is None else r0)
+    rows8 = rows64 * 8
+    barrier = _get_barrier()
+    delta = 4.0 / float(sharpness)
+    st64, ids64, n64a, st8c, ids8, n8a, gx8, gy8 = _stages2d(
+        fi, mat, z, size, p64, p8, r0, rows64, delta=delta)
+
+    # pixels of ambiguous 8px tiles (same layout as _render2d_impl
+    # stage 3); garbage lanes past the count get zeroed COORDS so no
+    # NaN can enter the backward pass (NaN * 0-cotangent = NaN)
+    gx8_c = barrier(gx8[ids8])
+    gy8_c = barrier(gy8[ids8])
+    p = jnp.arange(64, dtype=jnp.int32)
+    gpx = (gx8_c[:, None] * 8 + (p % 8)[None, :]).reshape(-1)
+    gpy = (gy8_c[:, None] * 8 + (p // 8)[None, :]).reshape(-1)
+    px_ok = jnp.arange(p8 * 64, dtype=jnp.int32) < (
+        jnp.minimum(n8a, p8) * 64)
+    fx = jnp.where(px_ok, (gpx.astype(jnp.float32) + 0.5) / size * 2.0
+                   - 1.0, 0.0)
+    fy = jnp.where(px_ok, (gpy.astype(jnp.float32) + 0.5) / size * 2.0
+                   - 1.0, 0.0)
+    px_, py_ = barrier(camera.transform2(mat, fx, fy, jnp))
+    v = f(px_, py_, jnp.full_like(px_, z))
+    soft = jnp.tanh(-sharpness * v) * 0.5 + 0.5
+
+    # composition: culled tiles contribute their saturated constant
+    # (FILLED -> 1, EMPTY -> 0); ambiguous tiles their soft pixels
+    st8img = _st8_image(st64, st8c, ids64, n64a, size, rows64, p64)
+    base = jnp.where(st8img == ST_FILLED, 1.0, 0.0)
+    blocks = jnp.broadcast_to(base[:, None], (rows8 * n8, 64))
+    rowp = jnp.where(jnp.arange(p8) < jnp.minimum(n8a, p8),
+                     (gy8_c - r0 * 8) * n8 + gx8_c, rows8 * n8)
+    blocks = jnp.concatenate([blocks, jnp.zeros((1, 64), blocks.dtype)])
+    blocks = blocks.at[rowp].set(soft.reshape(p8, 64),
+                                 mode="drop")[:rows8 * n8]
     img = blocks.reshape(rows8, n8, 8, 8).transpose(0, 2, 1, 3)
     counters = jnp.stack([n64a, n8a])
     return img.reshape(rows64 * 64, size), counters
@@ -617,9 +714,10 @@ class UnrolledRenderer:
         # (config.compile_effort; 0.0 = backend default).  Latched at
         # build time like the semantic flags above.
         effort = float(_config.get().compile_effort)
-        jit = jax.jit if effort == 0.0 else partial(
-            jax.jit, compiler_options={
-                "exec_time_optimization_effort": effort})
+        self._copts = None if effort == 0.0 else {
+            "exec_time_optimization_effort": effort}
+        jit = jax.jit if self._copts is None else partial(
+            jax.jit, compiler_options=self._copts)
         self.f = ue.build_float(tape, take_imms=self.imm_inputs)
         self.fi = ue.build_interval(tape, take_imms=self.imm_inputs)
         self.fd = ue.build_deriv(tape, take_imms=self.imm_inputs)
@@ -630,24 +728,14 @@ class UnrolledRenderer:
         else:
             def bind(fn, imms):
                 return fn
-        self._r2 = jit(
-            lambda imms, mat, z, size, p64, p8:
-            _render2d_impl(bind(self.fi, imms), bind(self.f, imms),
-                           mat, z, size, p64, p8),
-            static_argnames=("size", "p64", "p8"))
+        self._bind = bind
+        self._fns: Dict = {}
         self._r2s = jit(
             lambda imms, mat, z, size, p64, p8, mesh, rows:
             _render2d_sharded_impl(self.fi, self.f, mat, z, size, p64, p8,
                                    mesh, rows,
                                    imms=imms if self.imm_inputs else None),
             static_argnames=("size", "p64", "p8", "mesh", "rows"))
-        self._r3 = jit(
-            lambda imms, mat, size, p0, c1, c2, pn, with_normals, skip4:
-            _render3d_impl(bind(self.fi, imms), bind(self.f, imms),
-                           bind(self.fd, imms), mat, size,
-                           p0, c1, c2, pn, with_normals, skip4),
-            static_argnames=("size", "p0", "c1", "c2", "pn",
-                             "with_normals", "skip4"))
         self._r3s = jit(
             lambda imms, mat, size, p0, c1, c2, pn, with_normals, skip4,
             mesh, rows:
@@ -657,9 +745,45 @@ class UnrolledRenderer:
                                    imms=imms if self.imm_inputs else None),
             static_argnames=("size", "p0", "c1", "c2", "pn",
                              "with_normals", "skip4", "mesh", "rows"))
-        self._obs: Dict = compcache.load_obs(self._key)
-        self._hits: Dict = {}
+        self._obs, self._hits = compcache.load_obs(self._key)
         self._skip4_age: Dict = {}
+
+    def _fn(self, name: str, static: tuple, builder, example_args):
+        """Per-(stage, static-config) callable, trace+lowering persisted
+        as a jax.export artifact (compcache.cached_lowering) so later
+        processes skip straight to the persistent-cache-covered XLA
+        compile.  ``static`` must fully determine the traced structure
+        (sizes, caps, flags); self._key already covers tape structure,
+        semantic config flags, and compile_effort."""
+        key = (name,) + tuple(static)
+        fn = self._fns.get(key)
+        if fn is None:
+            from ..utils import compcache
+            skey = (self._key[:16] + "_" + name + "_"
+                    + "x".join(str(int(s)) for s in static))
+            fn = compcache.cached_lowering(skey, builder, *example_args,
+                                           compiler_options=self._copts)
+            self._fns[key] = fn
+        return fn
+
+    def _r2(self, imms, mat, z, size: int, p64: int, p8: int):
+        def builder(imms, mat, z):
+            return _render2d_impl(self._bind(self.fi, imms),
+                                  self._bind(self.f, imms),
+                                  mat, z, size, p64, p8)
+        return self._fn("r2", (size, p64, p8), builder,
+                        (imms, mat, z))(imms, mat, z)
+
+    def _r3(self, imms, mat, size: int, p0: int, c1: int, c2: int,
+            pn: int, with_normals: bool, skip4: bool):
+        def builder(imms, mat):
+            return _render3d_impl(self._bind(self.fi, imms),
+                                  self._bind(self.f, imms),
+                                  self._bind(self.fd, imms),
+                                  mat, size, p0, c1, c2, pn,
+                                  with_normals, skip4)
+        return self._fn("r3", (size, p0, c1, c2, pn, with_normals, skip4),
+                        builder, (imms, mat))(imms, mat)
 
     def _imms_arg(self, imms):
         """Resolve a render call's imms override (None = the tape's own)."""
@@ -673,19 +797,20 @@ class UnrolledRenderer:
     def _record(self, key, counts) -> None:
         from ..utils import compcache
         prev = self._obs.get(key)
+        phits = self._hits.get(key, 0)
         hits = 0
         if prev is not None:
-            phits = self._hits.get(key, 0)
             same = all(abs(c - p) <= max(8, 0.03 * max(c, p))
                        for c, p in zip(counts, prev))
             hits = phits + 1 if same else 0
-        self._hits[key] = hits
+        self._hits[key] = min(hits, 3)     # saturate: snug needs >= 2
         self._obs[key] = counts
-        # persist only when the observation actually changed: in steady
-        # state (the sub-ms frame loop) counts repeat exactly and a
-        # per-frame json rewrite would dominate the host path
-        if counts != prev:
-            compcache.save_obs(self._key, self._obs)
+        # persist only when the observation actually changed or the key
+        # just reached the snug tier (so a later process starts snug):
+        # in steady state (the sub-ms frame loop) counts repeat exactly
+        # and a per-frame json rewrite would dominate the host path
+        if counts != prev or (hits == 2 and phits < 2):
+            compcache.save_obs(self._key, self._obs, self._hits)
 
     def _snug(self, key) -> bool:
         """Steady state: the same ambiguous counts (±3%) seen on

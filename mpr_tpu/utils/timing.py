@@ -33,8 +33,14 @@ def make_frame_loop(frame: Callable, *args, perturb_arg: int = 0):
     ``frame`` must return an array (or tuple whose first element is an
     array); ``args[perturb_arg]`` must be a float array whose values the
     frame actually consumes (e.g. the camera matrix).
+
+    ``n`` is a TRACED loop bound: every loop length shares ONE lowering
+    and ONE executable.  (With a static bound, timing at two lengths
+    lowered the whole frame twice — at 220 s per lowering for the
+    Pallas-kernel pipelines on a 1-core host, that dominated entire
+    benchmark runs; measured 2026-08-20.)
     """
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def loop(n, *a):
         def body(i, carry):
             aa = list(a)
@@ -44,7 +50,7 @@ def make_frame_loop(frame: Callable, *args, perturb_arg: int = 0):
             return carry + jnp.sum(lead.astype(jnp.float32)) * 1e-20
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    return lambda n: loop(n, *args)
+    return lambda n: loop(jnp.int32(n), *args)
 
 
 def time_frames(frame: Callable, *args, n: int = 50, n0: int = 5,

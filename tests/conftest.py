@@ -29,6 +29,14 @@ sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 # driver's JAX_PLATFORMS=axon — the env writes above are too late for
 # this process.  Point the already-imported jax at cpu before any
 # backend initializes (registration is lazy; nothing has connected yet).
+import tempfile
+
+# isolate the persistent cache (utils/compcache.py): the default is now
+# repo-local and its obs files are COMMITTED — tests must neither read
+# stale committed observations nor write test-tape ones into the repo
+os.environ.setdefault(
+    "MPR_TPU_CACHE_DIR", tempfile.mkdtemp(prefix="mpr_tpu_test_cache_"))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
