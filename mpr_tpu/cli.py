@@ -19,6 +19,7 @@ is unreliable over remote-dispatch tunnels.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
@@ -382,12 +383,25 @@ def _heat_png(path, h):
 
 
 def cmd_heatmap2d(args):
+    if args.engine == "unrolled":
+        from .render.workmap import workmap2d
+        heat, totals = workmap2d(_load(args.file), size=args.size)
+        print(json.dumps(totals))
+        _heat_png(args.out, heat)
+        return
     from .render.heatmap import render2d_heatmap
     _heat_png(args.out, render2d_heatmap(_load(args.file), size=args.size))
 
 
 def cmd_heatmap3d(args):
     from .render import camera
+    if args.engine == "unrolled":
+        from .render.workmap import workmap3d
+        heat, totals = workmap3d(_load(args.file),
+                                 mat=camera.bench3d_view(), size=args.size)
+        print(json.dumps(totals))
+        _heat_png(args.out, heat)
+        return
     from .render.heatmap import render3d_heatmap
     _heat_png(args.out, render3d_heatmap(_load(args.file),
                                          mat=camera.bench3d_view(),
@@ -645,12 +659,20 @@ def main(argv=None):
     p.add_argument("file")
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--out", default="out_heat2d.png")
+    p.add_argument("--engine", choices=["interp", "unrolled"],
+                   default="interp",
+                   help="unrolled: production-engine workmap "
+                        "(render/workmap.py) + work totals on stdout")
     p.set_defaults(fn=cmd_heatmap2d)
 
     p = sub.add_parser("heatmap3d")
     p.add_argument("file")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--out", default="out_heat3d.png")
+    p.add_argument("--engine", choices=["interp", "unrolled"],
+                   default="interp",
+                   help="unrolled: production-engine workmap "
+                        "(render/workmap.py) + work totals on stdout")
     p.set_defaults(fn=cmd_heatmap3d)
 
     p = sub.add_parser("tape-time")
