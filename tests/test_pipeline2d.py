@@ -96,3 +96,33 @@ def test_authored_io_scene_pipeline_exact():
     img = pipeline2d.render2d(tape, size=128)
     want = oracle_image(tape, 128)
     assert np.array_equal(img, want), f"{(img != want).sum()} pixels differ"
+
+
+def test_cached_frame_shared_across_edits():
+    """The zero-recompile interactive contract (pipeline2d.cached_frame):
+    tapes sharing (capacity bucket, ops_present, slot bucket) reuse ONE
+    executable — the volatile metadata (length, slots, runs) is a runtime
+    input — and each renders exactly."""
+    import jax.numpy as jnp
+    from mpr_tpu.ops.tape_data import TapeData
+    from mpr_tpu.render import pipeline2d
+
+    # same op set (circle = hypot/sub chain), different structure/length
+    t1 = compile_tree(shapes.circle(0.7))
+    t2 = compile_tree(shapes.union(shapes.circle(0.5, cx=-0.3),
+                                   shapes.circle(0.3, cx=0.4, cy=0.2)))
+    td1, td2 = TapeData.from_tape(t1), TapeData.from_tape(t2)
+    assert td1.length != td2.length
+    assert td1.capacity == td2.capacity
+    pipeline2d._FRAME_CACHE.clear()
+    f1 = pipeline2d.cached_frame(td1, 128)
+    mat = jnp.asarray(np.eye(3, dtype=np.float32))
+    z = jnp.float32(0.0)
+    img1, _ = f1(td1, mat, z)
+    if set(td2.ops_present) == set(td1.ops_present):
+        # the union tape shares the op set -> the SAME cache entry
+        assert len(pipeline2d._FRAME_CACHE) == 1
+    f2 = pipeline2d.cached_frame(td2, 128)
+    img2, _ = f2(td2, mat, z)
+    assert np.array_equal(np.asarray(img1), oracle_image(t1, 128))
+    assert np.array_equal(np.asarray(img2), oracle_image(t2, 128))
