@@ -41,6 +41,11 @@ run python -m mpr_tpu.cli render2d "$FILES/prospero.frep" --size 1024 --check --
 run python -m mpr_tpu.cli render2d "$FILES/prospero.frep" --size 1024 --engine unrolled --check --out "$OUT/prospero_2d_unrolled.png"
 run python -m mpr_tpu.cli render3d "$FILES/bear.frep" --size 512 --mode all --out "$OUT/bear.png"
 run python -m mpr_tpu.cli heatmap2d "$FILES/prospero.frep" --out "$OUT/prospero_heat.png"
+# production-engine work heatmaps (render/workmap.py; totals JSON in log)
+run python -m mpr_tpu.cli heatmap2d "$FILES/prospero.frep" --engine unrolled --out "$OUT/prospero_heat_unrolled.png"
+run python -m mpr_tpu.cli heatmap3d "$FILES/bear.frep" --engine unrolled --size 512 --out "$OUT/bear_heat_unrolled.png"
+# effects frame times (render_effects.cpp analog)
+run python -m mpr_tpu.cli table-effects "$FILES/bear.frep" --sizes 512,1024
 run python -m mpr_tpu.cli shorten-stats "$FILES/prospero.frep"
 # the tape_shortening figure's intended long-tape model (the reference
 # references a missing prospero_long.frep; stress:N is our synthetic

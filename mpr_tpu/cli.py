@@ -408,6 +408,52 @@ def cmd_heatmap3d(args):
                                          size=args.size))
 
 
+def cmd_table_effects(args):
+    """Frame times for depth+normals / +SSAO / +shaded at each size —
+    the render_effects benchmark
+    (/root/reference/benchmark/render_effects.cpp), on the production
+    (unrolled) engine with effects fused into the frame."""
+    import jax.numpy as jnp
+    from .render import camera, effects, unrolled
+    from .utils.timing import time_frames
+    tape = _load(args.file)
+    r = unrolled.get_renderer(tape)
+    mat_np = camera.bench3d_view()
+    jmat = jnp.asarray(mat_np)
+    print(f"{'size':>6} {'depth+normals':>14} {'+ssao':>10} "
+          f"{'+shaded':>10}   (ms/frame)")
+    for size in (int(s) for s in args.sizes.split(",")):
+        for _ in range(4):
+            r.render3d(mat=mat_np, size=size)
+            if r._snug(("3d", size)):
+                break
+        caps = r._caps3d(size, True)
+        skip4 = r._skip4(size)
+        if skip4:
+            caps = (caps[0], caps[1], 256, caps[3])
+
+        def base(mat):
+            depth, normals, _ = r._r3(r._imms_j, mat, size, *caps, True,
+                                      skip4)
+            return depth, normals
+
+        def f_plain(mat):
+            return base(mat)[0]
+
+        def f_ssao(mat):
+            depth, normals = base(mat)
+            return effects.draw_ssao(depth, normals)
+
+        def f_shaded(mat):
+            depth, normals = base(mat)
+            return effects.draw_shaded(depth, normals)
+
+        cols = [time_frames(f, jmat, n=args.frames, n0=3)
+                for f in (f_plain, f_ssao, f_shaded)]
+        print(f"{size:>6} {cols[0]:>14.2f} {cols[1]:>10.2f} "
+              f"{cols[2]:>10.2f}", flush=True)
+
+
 def cmd_tape_time(args):
     # mean tape construction time over 100 builds
     # (/root/reference/benchmark/tape_building_time.cpp:44-57)
@@ -674,6 +720,12 @@ def main(argv=None):
                    help="unrolled: production-engine workmap "
                         "(render/workmap.py) + work totals on stdout")
     p.set_defaults(fn=cmd_heatmap3d)
+
+    p = sub.add_parser("table-effects")
+    p.add_argument("file")
+    p.add_argument("--sizes", default="1024")
+    p.add_argument("--frames", type=int, default=20)
+    p.set_defaults(fn=cmd_table_effects)
 
     p = sub.add_parser("tape-time")
     p.add_argument("file")
