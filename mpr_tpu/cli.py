@@ -564,12 +564,20 @@ def cmd_fit(args):
         grad_mask = np.zeros(tape.length, np.float32)
         for idxs in tape.params.values():
             grad_mask[list(idxs)] = 1.0
-    # 3d's grid is cubed (size^3 voxels through value_and_grad every
-    # step): the 2d default of 256 would mean a 16.7M-voxel dense
-    # oracle + gradient — default small instead
-    size = args.size if args.size is not None else (32 if fit3d else 256)
+    # 3d's dense grid is cubed (size^3 voxels through value_and_grad
+    # every step): default small; the culled (depth-window) engine is
+    # O(size^2 * window) and affords render-resolution fits
+    if args.size is not None:
+        size = args.size
+    elif fit3d:
+        size = 128 if args.engine == "culled" else 32
+    else:
+        size = 256
     if args.lr is None:
-        args.lr = 3e-4 if fit3d else 1e-2
+        # voxel-unit losses steepen with resolution: the culled 3d
+        # default matches its render-resolution regime
+        args.lr = (2e-5 if args.engine == "culled" else 3e-4) if fit3d \
+            else 1e-2
     if args.target.endswith(".png"):
         from .io.png import read_png_gray
         tgt = read_png_gray(args.target).astype(np.float32) / 255.0
@@ -586,9 +594,19 @@ def cmd_fit(args):
     every = max(1, args.steps // 10)
     if fit3d:
         mat = jnp.asarray(camera.identity3())
-        step3 = sharded.make_fit_step_3d(tape, size, mesh, lr=args.lr,
-                                          grad_mask=grad_mask)
+        if args.engine == "culled":
+            step3 = sharded.make_fit_step_3d_window(tape, size, mesh,
+                                                    lr=args.lr,
+                                                    grad_mask=grad_mask)
+        else:
+            step3 = sharded.make_fit_step_3d(tape, size, mesh, lr=args.lr,
+                                             grad_mask=grad_mask)
         step = lambda st, t, m, z_: step3(st, t, m)
+        state = jnp.asarray(tape.imms)
+    elif args.engine == "culled":
+        stepc = sharded.make_fit_step_culled(tape, size, mesh, lr=args.lr,
+                                             grad_mask=grad_mask)
+        step = lambda st, t, m, z_: stepc(st, np.asarray(t), m, float(z_))
         state = jnp.asarray(tape.imms)
     elif args.engine == "unrolled":
         step = sharded.make_fit_step_unrolled(tape, size, mesh,
@@ -606,8 +624,9 @@ def cmd_fit(args):
         loss, state = step(state, tgt_j, mat, z)
         if i % every == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.6f}")
-    fitted = np.asarray(state if (fit3d or args.engine == "unrolled")
-                        else state.imms)
+    fitted = np.asarray(
+        state if (fit3d or args.engine in ("unrolled", "culled"))
+        else state.imms)
     checkpoint.save_tape(args.out, tape, imms=fitted)
     print(f"wrote {args.out}", file=sys.stderr)
     if args.out_frep:
@@ -757,7 +776,12 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=None,
                    help="default 1e-2 (2d) / 3e-4 (3d: voxel-unit loss)")
     p.add_argument("--engine", default="scan",
-                   choices=["scan", "unrolled"])
+                   choices=["scan", "unrolled", "culled"],
+                   help="scan: differentiable interpreter; unrolled: "
+                        "production evaluator, dense pixels; culled: "
+                        "production ladder with the backward pass on "
+                        "ambiguous tiles only (2d) / a depth window "
+                        "(3d) — O(boundary), fits at render sizes")
     p.add_argument("--out", default="fitted.npz")
     p.add_argument("--out-frep", default="",
                    help="also decompile the fitted tape to a .frep "

@@ -297,8 +297,11 @@ def _soft_render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
         fi, mat, z, size, p64, p8, r0, rows64, delta=delta)
 
     # pixels of ambiguous 8px tiles (same layout as _render2d_impl
-    # stage 3); garbage lanes past the count get zeroed COORDS so no
-    # NaN can enter the backward pass (NaN * 0-cotangent = NaN)
+    # stage 3); garbage lanes past the count are pinned to pixel (0,0)'s
+    # CENTER — a regular evaluation point like any dense-path pixel.
+    # (Pinning them to exactly (0, 0) NaN-poisoned gradients: tapes with
+    # hypot/sqrt are singular at the origin, and NaN partials survive
+    # multiplication by the dropped lanes' zero cotangents.)
     gx8_c = barrier(gx8[ids8])
     gy8_c = barrier(gy8[ids8])
     p = jnp.arange(64, dtype=jnp.int32)
@@ -306,10 +309,10 @@ def _soft_render2d_impl(fi, f, mat, z, size: int, p64: int, p8: int,
     gpy = (gy8_c[:, None] * 8 + (p // 8)[None, :]).reshape(-1)
     px_ok = jnp.arange(p8 * 64, dtype=jnp.int32) < (
         jnp.minimum(n8a, p8) * 64)
-    fx = jnp.where(px_ok, (gpx.astype(jnp.float32) + 0.5) / size * 2.0
-                   - 1.0, 0.0)
-    fy = jnp.where(px_ok, (gpy.astype(jnp.float32) + 0.5) / size * 2.0
-                   - 1.0, 0.0)
+    gpx = jnp.where(px_ok, gpx, 0)
+    gpy = jnp.where(px_ok, gpy, 0)
+    fx = (gpx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+    fy = (gpy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
     px_, py_ = barrier(camera.transform2(mat, fx, fy, jnp))
     v = f(px_, py_, jnp.full_like(px_, z))
     soft = jnp.tanh(-sharpness * v) * 0.5 + 0.5

@@ -99,3 +99,33 @@ def test_culled_fit_converges():
     r_pos = np.asarray(tape.imms) == 0.5
     r = float(np.asarray(imms)[r_pos][0])
     assert abs(r - 0.7) < 0.03, r
+
+
+def test_window_fit_3d_recovers_radius():
+    """Depth-window 3D fit (make_fit_step_3d_window): O(size²·W) per
+    step at render resolution, recovers a sphere's radius from a target
+    depth image (the test_fit.py::test_fit_step_3d_depth setup at
+    size=64 instead of grid=16)."""
+    from mpr_tpu import oracle
+    from mpr_tpu.render import camera
+
+    size = 64
+    tape = compile_tree(shapes.sphere(0.75))
+    c = (np.arange(size, dtype=np.float32) + 0.5) / size * 2.0 - 1.0
+    Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
+    v = oracle.eval_f(compile_tree(shapes.sphere(0.55)), X, Y, Z)
+    zi = np.arange(size, dtype=np.float32)[:, None, None] + 1.0
+    target = np.max(np.where(v < 0, zi, 0.0), axis=0)     # (y, x)
+
+    step = sharded.make_fit_step_3d_window(tape, size, lr=2e-5,
+                                           sharpness=40.0, window=16)
+    imms = jnp.asarray(tape.imms)
+    first = last = None
+    for _ in range(200):
+        l, imms = step(imms, target)
+        first = float(l) if first is None else first
+        last = float(l)
+    assert last < first * 0.15, (first, last)
+    r_pos = np.asarray(tape.imms) == 0.75
+    r = float(np.asarray(imms)[r_pos][0])
+    assert abs(r - 0.55) < 0.06, r
