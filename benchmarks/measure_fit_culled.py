@@ -26,11 +26,16 @@ compcache.enable()
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 SHARP = 20.0
 
+import faulthandler
+faulthandler.dump_traceback_later(900, repeat=True)
+
 tree = frep.load("/root/reference/benchmark/files/prospero.frep")[0].tree
 tape = compile_tree(tree)
 print(f"backend: {jax.default_backend()}, prospero @{SIZE}", flush=True)
 
+t0 = time.time()
 target = np.asarray(unrolled.render2d(tape, size=SIZE), np.float32)
+print(f"target rendered [{time.time()-t0:.0f}s]", flush=True)
 mesh = sharded.make_mesh(1)
 mat = jnp.asarray(np.eye(3, dtype=np.float32))
 z = jnp.float32(0.0)
