@@ -33,7 +33,7 @@ mat = camera.bench3d_view()
 depth, _ = r.render3d(mat=mat, size=SIZE, with_normals=False)
 print(f"{MODEL} @{SIZE}: depth rendered", flush=True)
 
-p0, c1, c2, pn = r._caps3d(SIZE, True)
+p0, c1, c2, _c2a, _c2b, pn = r._caps3d(SIZE)
 skip4 = r._skip4(SIZE)
 if skip4:
     print("model uses skip4; two-phase targets the 16^3 direct path "

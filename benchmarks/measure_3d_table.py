@@ -52,24 +52,14 @@ for name in MODELS:
             print(f"{name} @{size}: already recorded", flush=True)
             continue
         t0 = time.time()
-        for _ in range(4):
-            r.render3d(mat=mat, size=size)
-            if r._snug(("3d", size)):
-                break
-        p0, c1, c2, pn = r._caps3d(size, True)
-        skip4 = r._skip4(size)
-        if skip4:
-            c2 = 256
-
-        def frame(m, size=size, caps=(p0, c1, c2, pn), skip4=skip4):
-            d, nrm, _ = r._r3(r._imms_j, m, size, *caps, True, skip4)
-            return d
-
+        frame = r.steady_frame3d(mat, size)
+        skip4 = r._skip4_key(("3d", size))
+        caps = list(r._caps3d(size))
         ms = time_frames(frame, jmat, n=20, n0=3)
         wall = time.time() - t0
         rec = {"model": name, "size": size, "ms": round(ms, 2),
-               "skip4": bool(skip4),
-               "caps": [p0, c1, c2, pn], "wall_s": round(wall, 1)}
+               "skip4": bool(skip4), "two_phase": bool(r.two_phase),
+               "caps": caps, "wall_s": round(wall, 1)}
         with OUT.open("a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)

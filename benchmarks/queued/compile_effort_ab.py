@@ -28,7 +28,7 @@ fi = ue.build_interval(tape)
 fd = ue.build_deriv(tape)
 
 r = unrolled.UnrolledRenderer(tape)   # for the cap heuristics only
-p0, c1, c2, pn = r._caps3d(SIZE, True)
+p0, c1, c2, _c2a, _c2b, pn = r._caps3d(SIZE)
 print("caps:", p0, c1, c2, pn, flush=True)
 
 def ladder(mat):

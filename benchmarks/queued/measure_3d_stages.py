@@ -34,18 +34,21 @@ def stage_times(r: unrolled.UnrolledRenderer, size=SIZE, n=20):
     # converge caps to the snug tier first
     for _ in range(3):
         r.render3d(mat=mat, size=size)
-    p0, c1, c2, pn = r._caps3d(size, True)
+    p0, c1, c2, c2a, c2b, pn = r._caps3d(size)
     skip4 = r._skip4(size)
+    two = r.two_phase and not skip4
     if skip4:
         c2 = 256
-    print(f"  caps p0={p0} c1={c1} c2={c2} pn={pn} skip4={skip4}",
-          flush=True)
+    if not two:
+        c2a = c2b = 0
+    print(f"  caps p0={p0} c1={c1} c2={c2} c2a={c2a} c2b={c2b} pn={pn} "
+          f"skip4={skip4} two_phase={two}", flush=True)
     jmat = jnp.asarray(mat)
 
     def frame(stage, with_normals):
         def fn(m):
             out = r._r3dbg(m, size, p0, c1, c2, pn, with_normals, skip4,
-                           stage)
+                           stage, c2a, c2b)
             return out[2] if out[0] is None else out[0]
         return fn
 
@@ -66,12 +69,16 @@ for name in MODELS:
     tape = compile_tree(tree)
     r = unrolled.UnrolledRenderer(tape)
     # a debug-stage variant of the jitted ladder
+    # NOTE with two_phase: "Bp" times through the phase-1 top-cell
+    # compact, "V" through the phase-1 voxel eval; the phase-2 eval and
+    # composition land in the "depth" marginal.
     r._r3dbg = jax.jit(
-        lambda m, size, p0, c1, c2, pn, wn, s4, dbg:
+        lambda m, size, p0, c1, c2, pn, wn, s4, dbg, c2a=0, c2b=0:
         unrolled._render3d_impl(r.fi, r.f, r.fd, m, size, p0, c1, c2,
-                                pn, wn, s4, debug_stage=dbg),
+                                pn, wn, s4, debug_stage=dbg, c2a=c2a,
+                                c2b=c2b),
         static_argnames=("size", "p0", "c1", "c2", "pn", "wn", "s4",
-                         "dbg"))
+                         "dbg", "c2a", "c2b"))
     print(f"== {name} 3D @{SIZE} ==", flush=True)
     t0 = time.time()
     times, skip4 = stage_times(r)

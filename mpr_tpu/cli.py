@@ -229,19 +229,7 @@ def cmd_table3d(args):
 
         def frame_of_size(size):
             # converge to the snug steady-state tier (see table2d)
-            for _ in range(4):
-                r.render3d(mat=mat_np, size=size)
-                if r._snug(("3d", size)):
-                    break
-            caps = r._caps3d(size, True)
-            skip4 = r._skip4(size)
-            if skip4:
-                caps = (caps[0], caps[1], 256, caps[3])
-
-            def frame(mat):
-                depth, normals, _ = r._r3(r._imms_j, mat, size, *caps, True, skip4)
-                return depth
-            return frame, (mat,)
+            return r.steady_frame3d(mat_np, size), (mat,)
     else:
         td = TapeData.from_tape(tape)
 
@@ -423,19 +411,7 @@ def cmd_table_effects(args):
     print(f"{'size':>6} {'depth+normals':>14} {'+ssao':>10} "
           f"{'+shaded':>10}   (ms/frame)")
     for size in (int(s) for s in args.sizes.split(",")):
-        for _ in range(4):
-            r.render3d(mat=mat_np, size=size)
-            if r._snug(("3d", size)):
-                break
-        caps = r._caps3d(size, True)
-        skip4 = r._skip4(size)
-        if skip4:
-            caps = (caps[0], caps[1], 256, caps[3])
-
-        def base(mat):
-            depth, normals, _ = r._r3(r._imms_j, mat, size, *caps, True,
-                                      skip4)
-            return depth, normals
+        base = r.steady_frame3d(mat_np, size)
 
         def f_plain(mat):
             return base(mat)[0]

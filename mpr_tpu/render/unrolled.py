@@ -408,7 +408,8 @@ def _row_max(blocks, rows, patch, nrows: int):
 def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
                    pn: int, with_normals: bool, skip4: bool = False,
                    debug_stage: str = "", r0=None,
-                   rows: Optional[int] = None):
+                   rows: Optional[int] = None, c2a: int = 0,
+                   c2b: int = 0):
     """3D ladder 64^3 -> 16^3 -> 4^3 -> voxel (the reference's full stage
     list, /root/reference/src/context.cpp:21-26), with occlusion culling
     between every stage (mask_filled_tiles analog,
@@ -444,7 +445,7 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
     occl0 = (tz + 1) * 64 <= h0[tyl * n + tx]
     ids0, n0 = barrier(_compact_ids((st0 == ST_AMBIG) & ~occl0, p0))
     if debug_stage == "A":
-        return None, None, jnp.zeros((4,), jnp.int32) + ids0[0] + n0
+        return None, None, jnp.zeros((6,), jnp.int32) + ids0[0] + n0
 
 
     # ---- stage B: 16^3 children (c = (cz*4+cy)*4 + cx) --------------------
@@ -471,7 +472,7 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
     occl1 = (top1 <= jnp.tile(hb, (1, 4)).reshape(-1))
     ids1, n1 = barrier(_compact_ids((st1 == ST_AMBIG) & ~occl1, c1))
     if debug_stage == "B":
-        return None, None, jnp.zeros((4,), jnp.int32) + ids1[0] + n1
+        return None, None, jnp.zeros((6,), jnp.int32) + ids1[0] + n1
 
 
     g16x_c = barrier(g16x[ids1])
@@ -507,12 +508,12 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
                                          (16 * rows * n, 256)),
                         rows_v, patchv, 16 * rows * n)
         depth = _unblock_rect(dblk, 4 * rows, 4 * n, 16)
-        counters = jnp.stack([n0, n1, jnp.int32(0), jnp.int32(0)])
+        z0 = jnp.int32(0)
+        counters = jnp.stack([n0, n1, z0, z0, z0, z0])
         if not with_normals:
             return depth, None, counters
-        return _normals_pass(fd, mat, depth, size, pn,
-                             jnp.stack([n0, n1, jnp.int32(0),
-                                        jnp.int32(0)]), r0=r0, rows=rows)
+        return _normals_pass(fd, mat, depth, size, pn, counters,
+                             r0=r0, rows=rows)
 
     # ---- stage B': 4^3 children -------------------------------------------
     g4x = (g16x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
@@ -535,40 +536,82 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
                      rows_c, patch4, 16 * rows * n)
     hb = h4blk[jnp.minimum(rows_c, 16 * rows * n - 1)]     # (c1, 16)
     occl2 = (top2 <= jnp.tile(hb, (1, 4)).reshape(-1))
-    ids2, n2 = barrier(_compact_ids((st2 == ST_AMBIG) & ~occl2, c2))
-    if debug_stage == "Bp":
-        return None, None, jnp.zeros((4,), jnp.int32) + ids2[0] + n2
-
-
-    # ---- voxel stage: 64 voxels per ambiguous 4^3 cell ---------------------
-    g4x_c = barrier(g4x[ids2])
-    g4y_c = barrier(g4y[ids2])
-    g4z_c = barrier(g4z[ids2])
-    gvx = (g4x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
-    gvy = (g4y_c[:, None] * 4 + cy4[None, :]).reshape(-1)
-    gvz = (g4z_c[:, None] * 4 + cz4[None, :]).reshape(-1)
-    fx = (gvx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
-    fy = (gvy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
-    fz = (gvz.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
-    wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
-    val = f(wx, wy, wz)
-    okV = jnp.arange(c2 * 64) < jnp.minimum(n2, c2) * 64
-    patchv = _zmax4(jnp.where((val < 0.0) & okV, gvz + 1, 0))
-    if debug_stage == "V":
-        return None, None, jnp.zeros((4,), jnp.int32) + patchv[0, 0]
-
-
-    # ---- depth composition: 4px pixel blocks -------------------------------
+    surv2 = (st2 == ST_AMBIG) & ~occl2
     n4 = 16 * n
     rows4 = 16 * rows
-    rows_v = jnp.where(jnp.arange(c2) < jnp.minimum(n2, c2),
-                       (g4y_c - r0 * 16) * n4 + g4x_c, rows4 * n4)
     h4flat = _unblock_rect(h4blk, 4 * rows, 4 * n, 4).reshape(-1)
-    dblk = _row_max(jnp.broadcast_to(h4flat[:, None], (rows4 * n4, 16)),
-                    rows_v, patchv, rows4 * n4)
-    depth = _unblock_rect(dblk, rows4, n4, 4)
+    zero6 = jnp.zeros((6,), jnp.int32)
 
-    counters = jnp.stack([n0, n1, n2, jnp.int32(0)])
+    def eval_cells(ids, count, cap):
+        """Evaluate the 64 voxels of ``cap`` compacted 4^3 cells; return
+        the (cap, 16) depth patches + their 4px-column block rows."""
+        g4x_c = barrier(g4x[ids])
+        g4y_c = barrier(g4y[ids])
+        g4z_c = barrier(g4z[ids])
+        gvx = (g4x_c[:, None] * 4 + cx4[None, :]).reshape(-1)
+        gvy = (g4y_c[:, None] * 4 + cy4[None, :]).reshape(-1)
+        gvz = (g4z_c[:, None] * 4 + cz4[None, :]).reshape(-1)
+        fx = (gvx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        fy = (gvy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        fz = (gvz.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
+        val = f(wx, wy, wz)
+        okV = jnp.arange(cap * 64) < jnp.minimum(count, cap) * 64
+        patchv = _zmax4(jnp.where((val < 0.0) & okV, gvz + 1, 0))
+        rows_v = jnp.where(jnp.arange(cap) < jnp.minimum(count, cap),
+                           (g4y_c - r0 * 16) * n4 + g4x_c, rows4 * n4)
+        return patchv, rows_v
+
+    if c2a > 0:
+        # ---- TWO-PHASE voxel stage (front-to-back; the z-sweep idea
+        # measured round 1 for the interp engine, profitable here
+        # because re-culling is one compaction, not a prepass clone).
+        # Phase 1: only each 4px column's TOPMOST ambiguous cell.
+        # Its composed depths then cull phase 2 against the per-column
+        # MINIMUM (exactness: a cell may be skipped only when EVERY
+        # pixel of its footprint already has depth >= the cell's top —
+        # a column-max test would drop geometry at partial coverage).
+        n2 = surv2.sum().astype(jnp.int32)
+        ambtop = _zmax4(jnp.where(surv2, g4z + 1, 0))      # (c1, 16)
+        ambcol = _row_max(jnp.zeros((16 * rows * n, 16), jnp.int32),
+                          rows_c, ambtop, 16 * rows * n)
+        ab = ambcol[jnp.minimum(rows_c, 16 * rows * n - 1)]
+        is_top = surv2 & (g4z + 1 == jnp.tile(ab, (1, 4)).reshape(-1))
+        ids_a, na = barrier(_compact_ids(is_top, c2a))
+        if debug_stage == "Bp":
+            return None, None, zero6 + ids_a[0] + na
+        patch_a, rows_va = eval_cells(ids_a, na, c2a)
+        if debug_stage == "V":
+            return None, None, zero6 + patch_a[0, 0]
+        dblk = _row_max(jnp.broadcast_to(h4flat[:, None],
+                                         (rows4 * n4, 16)),
+                        rows_va, patch_a, rows4 * n4)
+        # per-4px-column minimum depth, re-blocked to 16px-texel rows
+        # (row = y16l*(4n)+x16, entry = cy*4+cx) for one row-gather
+        m4min = barrier(dblk.min(axis=1))
+        m4blk = m4min.reshape(4 * rows, 4, 4 * n, 4).transpose(
+            0, 2, 1, 3).reshape(16 * rows * n, 16)
+        mb = m4blk[jnp.minimum(rows_c, 16 * rows * n - 1)]
+        deeper = top2 > jnp.tile(mb, (1, 4)).reshape(-1)
+        ids_b, nb = barrier(_compact_ids(surv2 & ~is_top & deeper, c2b))
+        patch_b, rows_vb = eval_cells(ids_b, nb, c2b)
+        dblk = _row_max(dblk, rows_vb, patch_b, rows4 * n4)
+        counters = jnp.stack([n0, n1, n2, na, nb, jnp.int32(0)])
+    else:
+        # ---- single-phase: all surviving ambiguous cells at once ------
+        ids2, n2 = barrier(_compact_ids(surv2, c2))
+        if debug_stage == "Bp":
+            return None, None, zero6 + ids2[0] + n2
+        patchv, rows_v = eval_cells(ids2, n2, c2)
+        if debug_stage == "V":
+            return None, None, zero6 + patchv[0, 0]
+        dblk = _row_max(jnp.broadcast_to(h4flat[:, None],
+                                         (rows4 * n4, 16)),
+                        rows_v, patchv, rows4 * n4)
+        counters = jnp.stack([n0, n1, n2, jnp.int32(0), jnp.int32(0),
+                              jnp.int32(0)])
+
+    depth = _unblock_rect(dblk, rows4, n4, 4)
     if not with_normals:
         return depth, None, counters
     return _normals_pass(fd, mat, depth, size, pn, counters, r0=r0,
@@ -613,13 +656,14 @@ def _normals_pass(fd, mat, depth, size: int, pn: int, counters,
                                  mode="drop")[:rows * n]
         planes.append(_unblock_rect(blk, rows, n, TILE))
     nimg = jnp.stack(planes, axis=-1)
-    counters = counters.at[3].set(nN)
+    counters = counters.at[5].set(nN)
     return depth, nimg, counters
 
 
 def _render3d_sharded_impl(fi, f, fd, mat, size: int, p0: int, c1: int,
                            c2: int, pn: int, with_normals: bool,
-                           skip4: bool, mesh, rows: int, imms=None):
+                           skip4: bool, mesh, rows: int, imms=None,
+                           c2a: int = 0, c2b: int = 0):
     """Multi-chip 3D ladder: one slab of 64px tile rows per mesh device
     (full z columns per slab, so the heightmap occlusion culling is
     exact without any cross-device exchange); depth/normal slabs are
@@ -636,7 +680,8 @@ def _render3d_sharded_impl(fi, f, fd, mat, size: int, p0: int, c1: int,
         depth, nimg, cnt = _render3d_impl(bind(fi), bind(f), bind(fd),
                                           mat, size, p0, c1,
                                           c2, pn, with_normals, skip4,
-                                          r0=r0, rows=rows)
+                                          r0=r0, rows=rows, c2a=c2a,
+                                          c2b=c2b)
         if nimg is None:
             return depth, cnt[None]
         return depth, nimg, cnt[None]
@@ -741,15 +786,20 @@ class UnrolledRenderer:
             static_argnames=("size", "p64", "p8", "mesh", "rows"))
         self._r3s = jit(
             lambda imms, mat, size, p0, c1, c2, pn, with_normals, skip4,
-            mesh, rows:
+            mesh, rows, c2a=0, c2b=0:
             _render3d_sharded_impl(self.fi, self.f, self.fd, mat, size,
                                    p0, c1, c2, pn, with_normals, skip4,
                                    mesh, rows,
-                                   imms=imms if self.imm_inputs else None),
+                                   imms=imms if self.imm_inputs else None,
+                                   c2a=c2a, c2b=c2b),
             static_argnames=("size", "p0", "c1", "c2", "pn",
-                             "with_normals", "skip4", "mesh", "rows"))
+                             "with_normals", "skip4", "mesh", "rows",
+                             "c2a", "c2b"))
         self._obs, self._hits = compcache.load_obs(self._key)
         self._skip4_age: Dict = {}
+        # front-to-back two-phase voxel stage (see _render3d_impl);
+        # exposed for A/B measurement
+        self.two_phase = True
 
     def _fn(self, name: str, static: tuple, builder, example_args):
         """Per-(stage, static-config) callable, trace+lowering persisted
@@ -778,14 +828,16 @@ class UnrolledRenderer:
                         (imms, mat, z))(imms, mat, z)
 
     def _r3(self, imms, mat, size: int, p0: int, c1: int, c2: int,
-            pn: int, with_normals: bool, skip4: bool):
+            pn: int, with_normals: bool, skip4: bool, c2a: int = 0,
+            c2b: int = 0):
         def builder(imms, mat):
             return _render3d_impl(self._bind(self.fi, imms),
                                   self._bind(self.f, imms),
                                   self._bind(self.fd, imms),
                                   mat, size, p0, c1, c2, pn,
-                                  with_normals, skip4)
-        return self._fn("r3", (size, p0, c1, c2, pn, with_normals, skip4),
+                                  with_normals, skip4, c2a=c2a, c2b=c2b)
+        return self._fn("r3", (size, p0, c1, c2, pn, with_normals, skip4,
+                               c2a, c2b),
                         builder, (imms, mat))(imms, mat)
 
     def _imms_arg(self, imms):
@@ -907,29 +959,37 @@ class UnrolledRenderer:
     # -- 3D ------------------------------------------------------------------
 
     def _caps3d_for(self, key, size: int, rows: int):
-        """Stage caps for a slab of ``rows`` 64px tile rows under obs
-        ``key`` (the whole image is the rows = size//64 case)."""
+        """Stage caps (p0, c1, c2, c2a, c2b, pn) for a slab of ``rows``
+        64px tile rows under obs ``key`` (whole image: rows = size//64).
+
+        (c2a, c2b) are the two-phase voxel-stage caps (phase 1 = one
+        cell per 4px column, phase 2 = unoccluded remainder); c2 is the
+        single-phase cap, used when two_phase is off or skip4 is on.
+        Pre-round-4 obs tuples (4 values, single-phase counters) are
+        discarded — the ladder graph changed shape anyway."""
         n = size // 64
         nxy = rows * n             # xy 64px tiles in the slab
         ncol = nxy * n             # 64^3 cells in the slab
+        ncol4 = 256 * nxy          # 4px columns in the slab
         obs = self._obs.get(key)
-        if obs is not None:
-            a0, a1, a2, aN = obs
-            if self._snug(key):
-                return (self._snug_cap(a0, 64, ncol),
-                        self._snug_cap(a1, 512, ncol * 64),
-                        self._snug_cap(a2, 2048, ncol * 64 * 64),
-                        self._snug_cap(aN, 16, nxy))
-            return (_bucket(int(a0 * 1.25) + 1, 64, ncol),
-                    _bucket(int(a1 * 1.25) + 1, 512, ncol * 64),
-                    _bucket(int(a2 * 1.25) + 1, 2048, ncol * 64 * 64),
-                    _bucket(int(aN * 1.25) + 1, 16, nxy))
+        if obs is not None and len(obs) == 6:
+            a0, a1, a2, aa, ab_, aN = obs
+            cap = self._snug_cap if self._snug(key) else (
+                lambda x, lo, hi: _bucket(int(x * 1.25) + 1, lo, hi))
+            return (cap(a0, 64, ncol),
+                    cap(a1, 512, ncol * 64),
+                    cap(a2, 2048, ncol * 64 * 64),
+                    cap(aa, 512, ncol4),
+                    cap(ab_, 1024, ncol * 64 * 64),
+                    cap(aN, 16, nxy))
         return (min(ncol, max(64, 8 * nxy)),
                 min(64 * 8 * nxy, max(1024, 96 * nxy)),
                 min(64 * 96 * nxy, max(4096, 768 * nxy)),
+                min(ncol4, max(512, ncol4 // 2)),
+                min(64 * 96 * nxy, max(4096, 512 * nxy)),
                 min(nxy, max(16, nxy // 2)))
 
-    def _caps3d(self, size: int, with_normals: bool):
+    def _caps3d(self, size: int, with_normals: bool = True):
         return self._caps3d_for(("3d", size), size, size // 64)
 
     def _skip4(self, size: int) -> bool:
@@ -974,30 +1034,70 @@ class UnrolledRenderer:
             mat, np.float32)
         im = self._imms_arg(imms)
         key = ("3d", size)
-        p0, c1, c2, pn = self._caps3d(size, with_normals)
+        p0, c1, c2, c2a, c2b, pn = self._caps3d(size)
         skip4 = self._skip4_decide(key)
+        two = self.two_phase and not skip4
         if skip4:
             c2 = 256
+        if not two:
+            c2a = c2b = 0
         n = size // 64
+        ncol4 = 256 * n * n
+        cmax = n * n * n * 64 * 64
         while True:
             depth, normals, cnt = self._r3(im, jnp.asarray(mat), size, p0,
-                                           c1, c2, pn, with_normals, skip4)
-            a0, a1, a2, aN = (int(v) for v in np.asarray(cnt))
-            prev = self._obs.get(key, (0, 0, 0, 1))
+                                           c1, c2, pn, with_normals, skip4,
+                                           c2a, c2b)
+            a0, a1, a2, aa, ab_, aN = (int(v) for v in np.asarray(cnt))
+            prev = self._obs.get(key)
+            if prev is None or len(prev) != 6:
+                prev = (0, 0, 0, 0, 0, 1)   # incl. pre-round-4 4-tuples
             if not with_normals:
-                aN = prev[3]   # keep the observed normals-tile count
+                aN = prev[5]   # keep the observed normals-tile count
             if skip4:
-                a2 = prev[2]   # the 4^3 stage didn't run; keep its count
-            self._record(key, (a0, a1, a2, max(aN, 1)))
-            if a0 <= p0 and a1 <= c1 and (skip4 or a2 <= c2) and (
+                # the 4^3 stage / phases didn't run; keep their counts
+                a2, aa, ab_ = prev[2], prev[3], prev[4]
+            elif not two:
+                aa, ab_ = prev[3], prev[4]
+            self._record(key, (a0, a1, a2, aa, ab_, max(aN, 1)))
+            ok2 = skip4 or (aa <= c2a and ab_ <= c2b if two else a2 <= c2)
+            if a0 <= p0 and a1 <= c1 and ok2 and (
                     not with_normals or aN <= pn):
                 return (np.asarray(depth),
                         None if normals is None else np.asarray(normals))
             p0 = max(p0, _bucket(a0, 64, n * n * n))
             c1 = max(c1, _bucket(a1, 512, n * n * n * 64))
-            if not skip4:
-                c2 = max(c2, _bucket(a2, 2048, n * n * n * 64 * 64))
+            if two:
+                c2a = max(c2a, _bucket(aa, 512, ncol4))
+                c2b = max(c2b, _bucket(ab_, 1024, cmax))
+            elif not skip4:
+                c2 = max(c2, _bucket(a2, 2048, cmax))
             pn = max(pn, _bucket(aN, 16, n * n))
+
+    def steady_frame3d(self, mat, size: int, with_normals: bool = True):
+        """Benchmark helper: converge the capacity buckets to the snug
+        steady-state tier (<= 4 renders), then return ``frame(mat) ->
+        (depth, normals)`` dispatching the compiled ladder with frozen
+        caps — the closure every 3D benchmark times (callers stay
+        insulated from the cap/phase plumbing)."""
+        mat_np = np.asarray(mat, np.float32)
+        for _ in range(4):
+            self.render3d(mat=mat_np, size=size, with_normals=with_normals)
+            if self._snug(("3d", size)):
+                break
+        p0, c1, c2, c2a, c2b, pn = self._caps3d(size)
+        skip4 = self._skip4_key(("3d", size))
+        two = self.two_phase and not skip4
+        if skip4:
+            c2 = 256
+        if not two:
+            c2a = c2b = 0
+
+        def frame(mat):
+            d, nrm, _ = self._r3(self._imms_j, mat, size, p0, c1, c2, pn,
+                                 with_normals, skip4, c2a, c2b)
+            return d, nrm
+        return frame
 
     def render3d_sharded(self, mat=None, size: int = 256, mesh=None,
                          with_normals: bool = True, imms=None):
@@ -1016,34 +1116,48 @@ class UnrolledRenderer:
         mat = camera.identity3() if mat is None else np.asarray(
             mat, np.float32)
         key = ("3ds", size * 1000 + nd)    # obs keys are (kind, int)
-        p0, c1, c2, pn = self._caps3d_for(key, size, rows)
+        p0, c1, c2, c2a, c2b, pn = self._caps3d_for(key, size, rows)
         skip4 = self._skip4_decide(key)
+        two = self.two_phase and not skip4
         if skip4:
             c2 = 256
+        if not two:
+            c2a = c2b = 0
+        ncol4 = 256 * rows * n
+        cmax = rows * n * n * 64 * 64
         while True:
             out = self._r3s(self._imms_arg(imms), jnp.asarray(mat), size,
-                            p0, c1, c2, pn, with_normals, skip4, mesh, rows)
+                            p0, c1, c2, pn, with_normals, skip4, mesh,
+                            rows, c2a, c2b)
             if with_normals:
                 depth, normals, cnts = out
             else:
                 depth, cnts = out
                 normals = None
             a = np.asarray(cnts).max(axis=0)       # worst slab governs
-            a0, a1, a2, aN = (int(v) for v in a)
-            prev = self._obs.get(key, (0, 0, 0, 1))
+            a0, a1, a2, aa, ab_, aN = (int(v) for v in a)
+            prev = self._obs.get(key)
+            if prev is None or len(prev) != 6:
+                prev = (0, 0, 0, 0, 0, 1)   # incl. pre-round-4 4-tuples
             if not with_normals:
-                aN = prev[3]
+                aN = prev[5]
             if skip4:
-                a2 = prev[2]
-            self._record(key, (a0, a1, a2, max(aN, 1)))
-            if a0 <= p0 and a1 <= c1 and (skip4 or a2 <= c2) and (
+                a2, aa, ab_ = prev[2], prev[3], prev[4]
+            elif not two:
+                aa, ab_ = prev[3], prev[4]
+            self._record(key, (a0, a1, a2, aa, ab_, max(aN, 1)))
+            ok2 = skip4 or (aa <= c2a and ab_ <= c2b if two else a2 <= c2)
+            if a0 <= p0 and a1 <= c1 and ok2 and (
                     not with_normals or aN <= pn):
                 return (np.asarray(depth),
                         None if normals is None else np.asarray(normals))
             p0 = max(p0, _bucket(a0, 64, rows * n * n))
             c1 = max(c1, _bucket(a1, 512, rows * n * n * 64))
-            if not skip4:
-                c2 = max(c2, _bucket(a2, 2048, rows * n * n * 64 * 64))
+            if two:
+                c2a = max(c2a, _bucket(aa, 512, ncol4))
+                c2b = max(c2b, _bucket(ab_, 1024, cmax))
+            elif not skip4:
+                c2 = max(c2, _bucket(a2, 2048, cmax))
             pn = max(pn, _bucket(aN, 16, rows * n))
 
 

@@ -187,7 +187,10 @@ def workmap3d(tape: Tape, mat=None, size: int = 256
     r = get_renderer(tape, imm_inputs=bool(tape.params))
     depth, _ = r.render3d(mat, size, with_normals=False)
     key = ("3d", size)
-    p0, c1, c2, pn = r._caps3d(size, True)
+    p0, c1, c2, _c2a, _c2b, pn = r._caps3d(size)
+    # NOTE: accounting mirrors the single-phase ladder; with the
+    # two-phase voxel stage the renderer may execute FEWER cells
+    # (phase-2 occlusion), so these totals are an upper bound
     skip4 = r._skip4_key(key)
     if skip4:
         c2 = 256

@@ -380,11 +380,12 @@ def test_render3d_slab_composition(spheres_tape):
     d_full, n_full = r.render3d(size=size)
     n64 = size // 64
     mat = jnp.asarray(camera.identity3())
-    caps = r._caps3d(size, True)
+    p0, c1, c2, c2a, c2b, pn = r._caps3d(size)
     dslabs, nslabs = [], []
     for row in range(n64):
-        d, nrm, cnt = _render3d_impl(r.fi, r.f, r.fd, mat, size, *caps,
-                                     True, False, r0=row, rows=1)
+        d, nrm, cnt = _render3d_impl(r.fi, r.f, r.fd, mat, size, p0, c1,
+                                     c2, pn, True, False, r0=row, rows=1,
+                                     c2a=c2a, c2b=c2b)
         assert d.shape == (64, size)
         dslabs.append(np.asarray(d))
         nslabs.append(np.asarray(nrm))
