@@ -797,9 +797,15 @@ class UnrolledRenderer:
                              "c2a", "c2b"))
         self._obs, self._hits = compcache.load_obs(self._key)
         self._skip4_age: Dict = {}
-        # front-to-back two-phase voxel stage (see _render3d_impl);
-        # exposed for A/B measurement
-        self.two_phase = True
+        # front-to-back two-phase voxel stage (see _render3d_impl) —
+        # default OFF: measured @1024 the per-column-MIN re-cull fires
+        # on ~0 cells for every paper model (ambiguous cells concentrate
+        # at edges/silhouettes whose 4x4px footprints never reach full
+        # coverage, so the exactness-preserving min test cannot cull;
+        # gears 53.65 vs 54.08 ms, architecture 15.73 vs 15.30 — a
+        # wash; docs/perf_notes.md round-4).  Kept as a measured
+        # experiment + for camera angles with face-on coverage.
+        self.two_phase = False
 
     def _fn(self, name: str, static: tuple, builder, example_args):
         """Per-(stage, static-config) callable, trace+lowering persisted
