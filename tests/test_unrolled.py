@@ -442,3 +442,18 @@ def test_imm_inputs_sharded_matches(spheres_tape):
     a = ri.render2d(size=128)
     b = ri.render2d_sharded(size=128, mesh=mesh)
     assert (a == b).all()
+
+
+def test_two_phase_voxel_stage_exact(spheres_tape):
+    """The front-to-back two-phase voxel stage (default off; measured a
+    wash on the paper models, docs/perf_notes.md round-4) must stay
+    BIT-exact vs the single-phase ladder — its per-column-min re-cull is
+    only allowed to skip cells that cannot contain any pixel's surface."""
+    r = unrolled.UnrolledRenderer(spheres_tape)
+    r._obs.clear(); r._hits.clear()
+    r.two_phase = False
+    d1, n1 = r.render3d(size=128)
+    r.two_phase = True
+    d2, n2 = r.render3d(size=128)
+    assert (d1 == d2).all()
+    np.testing.assert_array_equal(n1, n2)
