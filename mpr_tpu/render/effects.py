@@ -158,11 +158,31 @@ def ssao_blur(depth: jnp.ndarray, raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((depth > 0) & jnp.isfinite(best_sd), best_mean, 0.0)
 
 
-def draw_ssao(depth, normals) -> jnp.ndarray:
-    """Blurred ambient-occlusion image in [0,1] (Effects::drawSSAO)."""
+def draw_ssao(depth, normals, ao_scale: int = None) -> jnp.ndarray:
+    """Blurred ambient-occlusion image in [0,1] (Effects::drawSSAO).
+
+    ``ao_scale``: compute the raw AO at 1/ao_scale resolution and
+    upsample before the full-resolution edge-aware blur.  Default: 1
+    below 512², else 2.  Rationale (measured, docs/perf_notes.md
+    round-4): the sample loop is 64 random gathers per pixel at
+    ~10 ns/index on TPU — 727 ms at 1024² full-res, and neither window
+    locality nor layout changes it; index COUNT is the only lever.  AO
+    is low-frequency and blurred anyway, so half-res raw AO + full-res
+    edge-aware blur is visually equivalent at a quarter the cost (a
+    documented divergence from the reference, whose GPU texture fetches
+    make full-res free)."""
     depth = jnp.asarray(depth)
     normals = jnp.asarray(normals)
-    return ssao_blur(depth, ssao_raw(depth, normals))
+    size = depth.shape[0]
+    if ao_scale is None:
+        ao_scale = 2 if size >= 512 else 1
+    if ao_scale > 1:
+        raw_s = ssao_raw(depth[::ao_scale, ::ao_scale],
+                         normals[::ao_scale, ::ao_scale])
+        raw = jnp.repeat(jnp.repeat(raw_s, ao_scale, 0), ao_scale, 1)
+    else:
+        raw = ssao_raw(depth, normals)
+    return ssao_blur(depth, raw)
 
 
 @jax.jit
