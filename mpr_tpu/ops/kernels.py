@@ -80,12 +80,14 @@ def _on_cpu() -> bool:
 # Interval op branch table
 # ---------------------------------------------------------------------------
 
-def _interval_branch_list():
+def _interval_branch_list(widen: bool = False):
     """Branches for lax.switch: (al, ah, bl, bh, imm) -> (rl, rh, choice).
 
     Choice semantics per gpu_interval.hpp:208-252 (1=LHS, 2=RHS, 0=both).
     Interval semantics mirror ops/interval_math.py; re-stated here in a
     scalar-imm-aware form so IMM variants don't materialize an interval.
+    ``widen`` applies >= 1-ulp outward widening to every branch result
+    (config.widen_intervals; see interval_math.widen).
     """
     def no_c(rl, rh, like):
         return rl, rh, jnp.zeros_like(like, jnp.int32)
@@ -288,7 +290,7 @@ def _interval_branch_list():
         sal, sah = _sq(al, ah)
         return no_c(sal + bl, sah + bh, al)
 
-    return [
+    table = [
         nop, nop,                 # INVALID, JUMP
         square, sqrt_, neg, sincos, sincos, asin_, acos_, atan_,
         exp_, abs_, log_,
@@ -299,19 +301,32 @@ def _interval_branch_list():
         copy_imm, copy_lhs, copy_rhs,
         hypot_, addsq_,
     ]
+    if not widen:
+        return table
+
+    from . import interval_math as _im
+
+    def _widened(f):
+        def g(al, ah, bl, bh, imm):
+            rl, rh, c = f(al, ah, bl, bh, imm)
+            rl, rh = _im.widen(jnp, rl, rh)
+            return rl, rh, c
+        return g
+
+    return [table[0], table[1]] + [_widened(f) for f in table[2:]]
 
 
 # ---------------------------------------------------------------------------
 # Kernel A: interval eval + in-kernel tape shortening (uniform tape)
 # ---------------------------------------------------------------------------
 
-def _make_interval_shorten_kernel(branch_ops):
+def _make_interval_shorten_kernel(branch_ops, widen: bool = False):
     """Kernel A with run-level dispatch, specialized to the tape's op set.
 
     ``branch_ops``: static tuple of GPU opcodes; run headers carry
     branch ids (0 = NOP, i+1 = branch_ops[i]).
     """
-    all_br = _interval_branch_list()
+    all_br = _interval_branch_list(widen)
 
     def kernel(
             # scalar prefetch
@@ -491,11 +506,13 @@ def _make_interval_shorten_kernel(branch_ops):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("branch_ops", "s_cap", "block_lanes"))
+                   static_argnames=("branch_ops", "s_cap", "block_lanes",
+                                    "widen"))
 def interval_shorten(meta: jnp.ndarray, words: jnp.ndarray,
                      imms: jnp.ndarray, runs: jnp.ndarray,
                      boxes: jnp.ndarray, branch_ops: tuple = None,
-                     s_cap: int = SLOT_CAP, block_lanes: int = 512):
+                     s_cap: int = SLOT_CAP, block_lanes: int = 512,
+                     widen: bool = False):
     """Run kernel A over `lanes` tiles with one shared tape.
 
     Grid iterates over lane blocks of `block_lanes` tiles so VMEM stays
@@ -538,7 +555,7 @@ def interval_shorten(meta: jnp.ndarray, words: jnp.ndarray,
         ],
     )
     status, codes = pl.pallas_call(
-        _make_interval_shorten_kernel(branch_ops),
+        _make_interval_shorten_kernel(branch_ops, widen),
         out_shape=(jax.ShapeDtypeStruct((nb, 8, lb8), jnp.int32),
                    jax.ShapeDtypeStruct((nb, tcap // 8, 8, lb8), jnp.int32)),
         grid_spec=grid,

@@ -85,11 +85,13 @@ def _walk(tape: Tape, sem, x, y, z, imms):
         slots[sy] = sem.seed(y, 1)
     if sz:
         slots[sz] = sem.seed(z, 2)
+    post = getattr(sem, "post", None)
     for t in range(tape.length):
         op, o, l, r = ops[t], outs[t], lhss[t], rhss[t]
         a = slots.get(l)
         b = slots.get(r)
-        slots[o] = sem.table[op](a, b, imms[t])
+        v = sem.table[op](a, b, imms[t])
+        slots[o] = post(v) if post is not None else v
     return slots[tape.result_slot]
 
 
@@ -272,6 +274,14 @@ class _IntervalSem:
         T[int(Op.MIN_LHS_RHS)] = lambda a, b, i: self.op_min(a, b)
         T[int(Op.MAX_LHS_RHS)] = lambda a, b, i: self.op_max(a, b)
         self.table = T
+        # config.widen_intervals: conservative per-op outward widening
+        # (interval_math.widen), applied by _walk's post hook.  Read at
+        # build time — the unrolled skey (render/unrolled.py) includes
+        # the flag, so flipping it recompiles rather than silently
+        # reusing an unwidened executable.
+        from .. import config as _config
+        if _config.get().widen_intervals:
+            self.post = lambda v: im.widen(jnp, v[0], v[1])
 
 
 class _DerivSem:

@@ -193,6 +193,9 @@ def eval_i(tape: Tape, xl, xh, yl, yh, zl=None, zh=None
 
     choices = np.zeros((tape.num_choices,) + xl.shape, dtype=np.int32)
     ci = 0
+    # config.widen_intervals: conservative outward widening per op (the
+    # directed-rounding substitute, interval_math.widen)
+    widen = _config.get().widen_intervals
 
     with np.errstate(all="ignore"):
         for t in range(tape.length):
@@ -278,6 +281,8 @@ def eval_i(tape: Tape, xl, xh, yl, yh, zl=None, zh=None
                 break
             else:
                 raise ValueError(f"bad opcode {op}")
+            if widen:
+                lo[o], hi[o] = _im.widen(np, lo[o], hi[o])
     return lo[tape.result_slot], hi[tape.result_slot], choices
 
 

@@ -158,30 +158,119 @@ def ssao_blur(depth: jnp.ndarray, raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((depth > 0) & jnp.isfinite(best_sd), best_mean, 0.0)
 
 
-def draw_ssao(depth, normals, ao_scale: int = None) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# Gather-free SSAO: static screen offsets -> shifted-image reads
+# ---------------------------------------------------------------------------
+#
+# The reference's mechanism rotates a hemisphere kernel into each pixel's
+# TBN frame, making every depth lookup a data-dependent 2D index — a GPU
+# texture fetch, but on TPU a random gather at ~10 ns/index: 727 ms for
+# 64 x 1024² indices, irreducible within the gather mechanism (windowed
+# gathers measured identical, docs/perf_notes.md round-4).  The static
+# mode removes the per-pixel rotation instead (VERDICT round-4 item 4):
+# sample a FIXED set of sphere offsets (Mittring-style sphere sampling),
+# mask each sample to the normal's hemisphere per pixel via dot(s, n) > 0,
+# and normalize by the in-hemisphere count.  Every sample's screen offset
+# is then a compile-time constant, so the depth lookup is a shifted-image
+# read (one static slice of a padded plane — zero per-index cost, pure
+# HBM streaming) and the whole AO pass is elementwise math XLA fuses.
+# The z test and the two-band distance falloff match the gather mode
+# exactly; only the sampling pattern differs (documented divergence —
+# the reference's pattern is itself arbitrary rand()-seeded).
+
+N_SAMPLES_STATIC = 128   # sphere samples; ~half land in any hemisphere
+
+
+def _ssao_static_kernel() -> np.ndarray:
+    """Fixed sphere sample set, quadratically scaled toward the center
+    like the reference's hemisphere kernel (effects.cu:231-243)."""
+    rng = np.random.default_rng(20200717)
+    n = N_SAMPLES_STATIC
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    scale = np.arange(n) / (n - 1)
+    v *= ((scale * scale) * 0.9 + 0.1)[:, None]
+    return (v * RADIUS).astype(np.float32)
+
+
+_KERNEL_STATIC = _ssao_static_kernel()
+
+
+@jax.jit
+def ssao_raw_static(depth: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free raw AO in [0,1] (see block comment above)."""
+    size = depth.shape[0]
+    px, py, pz = _world_pos(depth, size)
+    kern = _KERNEL_STATIC
+    # world -> pixel offset: world spans [-1,1] over `size` pixels
+    dxs = np.round(kern[:, 0] / 2.0 * size).astype(int)
+    dys = np.round(kern[:, 1] / 2.0 * size).astype(int)
+    pad = int(max(np.abs(dxs).max(), np.abs(dys).max(), 1))
+    # out-of-image samples read depth 0 (empty), like the gather mode's
+    # in-bounds mask
+    dp = jnp.pad(depth, pad)
+
+    occ = jnp.zeros((size, size), jnp.float32)
+    cnt = jnp.zeros((size, size), jnp.float32)
+    for i in range(N_SAMPLES_STATIC):
+        kx, ky, kz = (float(kern[i, 0]), float(kern[i, 1]),
+                      float(kern[i, 2]))
+        dy, dx = int(dys[i]), int(dxs[i])
+        # hemisphere mask: sample direction within 90° of the normal
+        inhemi = (normals[..., 0] * kx + normals[..., 1] * ky
+                  + normals[..., 2] * kz) > 0.0
+        w = inhemi.astype(jnp.float32)
+        h = jax.lax.dynamic_slice(dp, (pad + dy, pad + dx), (size, size))
+        sz = pz + kz
+        actual_z = 2.0 * ((h + 0.5) / size - 0.5)
+        dz = jnp.abs(sz - actual_z)
+        below = sz <= actual_z
+        near = jnp.where(dz < RADIUS, below.astype(jnp.float32), 0.0)
+        fall = ((RADIUS - (dz - RADIUS)) / RADIUS) ** 2
+        far = jnp.where((dz >= RADIUS) & (dz < 2 * RADIUS) & below,
+                        fall, 0.0)
+        occ = occ + (near + far) * w
+        cnt = cnt + w
+    out = 1.0 - occ / jnp.maximum(cnt, 1.0)
+    return jnp.where(depth > 0, out, 0.0)
+
+
+def draw_ssao(depth, normals, ao_scale: int = None,
+              mode: str = None) -> jnp.ndarray:
     """Blurred ambient-occlusion image in [0,1] (Effects::drawSSAO).
 
+    ``mode`` (default ``config.ssao_mode``): "static" = gather-free
+    fixed-offset sampling (TPU-fast; see ssao_raw_static), "gather" =
+    the reference's per-pixel rotated-hemisphere mechanism (ssao_raw).
+
     ``ao_scale``: compute the raw AO at 1/ao_scale resolution and
-    upsample before the full-resolution edge-aware blur.  Default: 1
-    below 512², else 2.  Rationale (measured, docs/perf_notes.md
-    round-4): the sample loop is 64 random gathers per pixel at
-    ~10 ns/index on TPU — 727 ms at 1024² full-res, and neither window
-    locality nor layout changes it; index COUNT is the only lever.  AO
-    is low-frequency and blurred anyway, so half-res raw AO + full-res
-    edge-aware blur is visually equivalent at a quarter the cost (a
-    documented divergence from the reference, whose GPU texture fetches
-    make full-res free)."""
+    upsample before the full-resolution edge-aware blur.  Default
+    (``config.ao_scale``, 0 = auto): full-res for static mode and
+    <512² gather; 2 for gather mode at >=512² — where full-res costs
+    727 ms @1024² against the ~10 ns/index gather wall (measured,
+    docs/perf_notes.md round-4; index COUNT is the only in-mechanism
+    lever).  AO is low-frequency and blurred anyway, so half-res raw
+    AO + full-res edge-aware blur is visually equivalent at a quarter
+    the cost (a documented divergence from the reference, whose GPU
+    texture fetches make full-res free)."""
+    from .. import config as _config
+    cfg = _config.get()
     depth = jnp.asarray(depth)
     normals = jnp.asarray(normals)
     size = depth.shape[0]
+    if mode is None:
+        mode = cfg.ssao_mode
+    raw_fn = ssao_raw_static if mode == "static" else ssao_raw
     if ao_scale is None:
-        ao_scale = 2 if size >= 512 else 1
+        ao_scale = cfg.ao_scale
+    if ao_scale == 0:
+        ao_scale = 2 if (mode == "gather" and size >= 512) else 1
     if ao_scale > 1:
-        raw_s = ssao_raw(depth[::ao_scale, ::ao_scale],
-                         normals[::ao_scale, ::ao_scale])
+        raw_s = raw_fn(depth[::ao_scale, ::ao_scale],
+                       normals[::ao_scale, ::ao_scale])
         raw = jnp.repeat(jnp.repeat(raw_s, ao_scale, 0), ao_scale, 1)
     else:
-        raw = ssao_raw(depth, normals)
+        raw = raw_fn(depth, normals)
     return ssao_blur(depth, raw)
 
 

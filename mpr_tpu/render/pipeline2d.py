@@ -80,14 +80,14 @@ def _tile_boxes_2d(n_side: int, mat, z, row0=0, n_rows: int = None,
     yl = jnp.repeat(rlo, n_cols)
     yh = jnp.repeat(rhi, n_cols)
 
-    def affine(r0, r1, r2):
-        al, ah = _iv_mul_scalar(mat[r0, 0], xl, xh)
-        bl, bh = _iv_mul_scalar(mat[r0, 1], yl, yh)
-        return al + bl + mat[r0, 2], ah + bh + mat[r0, 2]
+    def affine(r):
+        al, ah = _iv_mul_scalar(mat[r, 0], xl, xh)
+        bl, bh = _iv_mul_scalar(mat[r, 1], yl, yh)
+        return al + bl + mat[r, 2], ah + bh + mat[r, 2]
 
-    txl, txh = affine(0, 0, 0)
-    tyl, tyh = affine(1, 0, 0)
-    twl, twh = affine(2, 0, 0)
+    txl, txh = affine(0)
+    tyl, tyh = affine(1)
+    twl, twh = affine(2)
     # projective divide (interval): assume w does not span 0 for sane
     # cameras; fall back to the exact interval division if it does.
     from ..ops import interval_math as im
@@ -277,11 +277,13 @@ def render_tile_block(td: TapeData, mat, z, size: int, row0, n_rows: int,
     remap_j = jnp.asarray(remap)
     # full-tape run headers with op byte remapped to branch ids
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
+    from .. import config as _config
+    widen = _config.get().widen_intervals
     boxes = _tile_boxes_2d(n_side, mat, z, row0, n_rows, col0, n_cols)
     status, codes = kernels.interval_shorten(meta, td.packed, td.imms,
                                              runs_full, boxes,
                                              branch_ops=branch_ops,
-                                             s_cap=s_cap)
+                                             s_cap=s_cap, widen=widen)
 
     amb = status == ST_AMBIG
     order = jnp.argsort(jnp.logical_not(amb), stable=True).astype(jnp.int32)
@@ -372,7 +374,7 @@ def cached_frame(td: TapeData, size: int):
     cfg = _config.get()
     s_cap = max(8, -(-td.num_slots // 8) * 8)
     key = ("2d", td.ops_present, td.capacity, s_cap, size,
-           cfg.tight_sincos, cfg.fast_transcendentals)
+           cfg.tight_sincos, cfg.fast_transcendentals, cfg.widen_intervals)
     fn = _FRAME_CACHE.get(key)
     if fn is None:
         import hashlib

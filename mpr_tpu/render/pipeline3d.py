@@ -144,24 +144,40 @@ def _caps(n: int, n_rows: int = None, cfg=None) -> Tuple[int, int]:
 
 
 def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
-                  with_normals: bool = True, cfg=None):
+                  with_normals: bool = True, cfg=None, meta=None,
+                  s_cap: int = None):
     """Render screen-tile rows [row0, row0+n_rows) of a size² 3D frame.
 
     The sharded renderer calls this per shard (each device owns a
     horizontal slab; all stages — classification, occlusion, voxel eval,
     normals — are slab-local because tiles have no cross-tile data
-    dependence); the single-chip path uses the whole grid."""
+    dependence); the single-chip path uses the whole grid.
+
+    ``meta`` (optional int32[8]: length, num_slots, result_slot, sx, sy,
+    sz, num_runs, 0) makes the volatile tape metadata a RUNTIME input —
+    the traced structure then depends only on (padded capacity,
+    ops_present, ``s_cap`` slot bucket, size, caps config), so one
+    executable serves every tape sharing those: the 3D half of the
+    zero-recompile interactive-editing contract (see cached_frame3d; the
+    reference gets this for free by re-uploading the tape buffer,
+    /root/reference/src/tape.cpp:223-227)."""
     from .. import config as _config
     cfg = _config.get() if cfg is None else cfg
     n = size // TILE
     p0_cap, c_cap = _caps(n, n_rows, cfg)
-    s_cap = max(8, -(-td.num_slots // 8) * 8)
+    if s_cap is None:
+        s_cap = max(8, -(-td.num_slots // 8) * 8)
     branch_ops, remap = kernels.build_remap(td.ops_present)
     remap_j = jnp.asarray(remap)
     runs_full = remap_j[td.runs & 0xFF] | (td.runs & ~0xFF)
-    meta = jnp.asarray([td.length, td.num_slots, td.result_slot,
-                        td.axis_slots[0], td.axis_slots[1],
-                        td.axis_slots[2], td.num_runs, 0], dtype=jnp.int32)
+    if meta is None:
+        meta = jnp.asarray([td.length, td.num_slots, td.result_slot,
+                            td.axis_slots[0], td.axis_slots[1],
+                            td.axis_slots[2], td.num_runs, 0],
+                           dtype=jnp.int32)
+    else:
+        meta = jnp.asarray(meta, jnp.int32)
+    length = meta[0]
     matf = mat.reshape(16)
     # Per-cell tape cap = Tcap/2 (compacted tapes span 4 of the 8 plane
     # rows in flat order): blobby 3D models (bear: EXP blends, 27 choices
@@ -176,7 +192,8 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     status0, _ = kernels.interval_shorten(meta, td.packed, td.imms,
                                           runs_full, boxesA,
                                           branch_ops=branch_ops,
-                                          s_cap=s_cap)
+                                          s_cap=s_cap,
+                                          widen=cfg.widen_intervals)
     st0 = status0.reshape(n, n_rows, n)                  # [tz, ty_l, tx]
     tz_idx = jnp.arange(n, dtype=jnp.int32)[:, None, None]
     h0 = jnp.max(jnp.where(st0 == ST_FILLED, (tz_idx + 1) * TILE, 0),
@@ -198,7 +215,8 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     status1, codes1 = kernels.interval_shorten(metaB, td.packed, td.imms,
                                                runs_full, boxesB,
                                                branch_ops=branch_ops,
-                                               s_cap=s_cap)
+                                               s_cap=s_cap,
+                                               widen=cfg.widen_intervals)
     lane = jnp.arange(p0_cap * 64, dtype=jnp.int32)
     status1 = jnp.where(lane < n_amb0 * 64, status1, ST_EMPTY)
 
@@ -223,7 +241,7 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     # ---- per-child tapes --------------------------------------------------
     codes_sel = codes1[order1]
     wrw, irw, rem, lens = _shorten_prepass(codes_sel, td.packed, td.imms,
-                                           td.length, remap_j)
+                                           length, remap_j)
     cmeta = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                         jnp.int32).at[0].set(n_amb1)
     tw, ti_bits, runsC, gmetaC = kernels.compact_bitshift_batched(
@@ -231,7 +249,7 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     ti = jax.lax.bitcast_convert_type(ti_bits, jnp.float32)
 
     # ---- stage C: voxel evaluation ---------------------------------------
-    nmeta = meta.at[0].set(n_amb1).at[6].set(td.num_runs).at[7].set(row0)
+    nmeta = meta.at[0].set(n_amb1).at[7].set(row0)
     vals = kernels3d.voxel_eval_3d(nmeta, order1, parents, matf,
                                    td.packed, td.imms, runs_full,
                                    branch_ops, tw, ti, runsC, gmetaC,
@@ -266,7 +284,8 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
     boxesD = _column_boxes(n, mat, row0, n_rows)
     _, codesD = kernels.interval_shorten(meta, td.packed, td.imms,
                                          runs_full, boxesD,
-                                         branch_ops=branch_ops, s_cap=s_cap)
+                                         branch_ops=branch_ops, s_cap=s_cap,
+                                         widen=cfg.widen_intervals)
     blocks = depth.reshape(n_rows, TILE, n, TILE).transpose(0, 2, 1, 3)
     blocks = blocks.reshape(n_cols, TILE * TILE)
     content = (blocks.max(axis=1) > 0)
@@ -276,7 +295,7 @@ def render3d_rows(td: TapeData, mat, size: int, row0, n_rows: int,
 
     codes_selD = codesD[orderD]
     wrwD, irwD, remD, lensD = _shorten_prepass(codes_selD, td.packed,
-                                               td.imms, td.length, remap_j)
+                                               td.imms, length, remap_j)
     cmetaD = jnp.asarray([0, cap, cap, 0, 0, 0, 0, 0],
                          jnp.int32).at[0].set(n_act)
     # prepass may pad rows up to 256 (see _shorten_prepass); compact at
@@ -317,6 +336,52 @@ def _render3d_jit(td: TapeData, mat: jnp.ndarray, size: int,
                          with_normals, cfg)
 
 
+_FRAME3D_CACHE: dict = {}
+
+
+def cached_frame3d(td: TapeData, size: int, with_normals: bool = True,
+                   cfg=None):
+    """``frame(td, mat) -> (depth, normals, counters)`` with PERSISTED
+    lowering and a structure-erased cache key — the 3D half of the
+    zero-recompile interactive contract (2D: pipeline2d.cached_frame).
+
+    The traced structure depends only on (padded tape capacity,
+    ops_present branch set, slot bucket, size, with_normals, config):
+    the volatile metadata (length, slots, runs) rides in a runtime
+    int32[8], so any edit whose tape stays inside the same capacity
+    bucket and op set re-renders with the SAME executable.  The ~minutes
+    of Mosaic lowering on a small host is persisted as a jax.export
+    artifact (compcache.cached_lowering).  The reference needs no analog:
+    its kernels are tape-generic and a shape edit is just a tape
+    re-upload (/root/reference/src/tape.cpp:223-227)."""
+    import dataclasses
+    from .. import config as _config
+    from ..utils import compcache
+    from .pipeline2d import _canonical_td, _meta_arr
+    cfg = _config.get() if cfg is None else cfg
+    s_cap = max(8, -(-td.num_slots // 8) * 8)
+    key = ("3d", td.ops_present, td.capacity, s_cap, size, with_normals,
+           dataclasses.astuple(cfg))
+    fn = _FRAME3D_CACHE.get(key)
+    if fn is None:
+        import hashlib
+        skey = ("interp3d_"
+                + hashlib.sha1(repr(key).encode()).hexdigest()[:16])
+        n_rows = size // TILE
+
+        def builder(td, meta, mat):
+            return render3d_rows(td, mat, size, jnp.int32(0), n_rows,
+                                 with_normals, cfg, meta=meta, s_cap=s_cap)
+
+        raw = compcache.cached_lowering(
+            skey, builder, _canonical_td(td, s_cap), _meta_arr(td),
+            jnp.asarray(camera.identity3()))
+        fn = lambda td, mat: raw(_canonical_td(td, s_cap),  # noqa: E731
+                                 _meta_arr(td), mat)
+        _FRAME3D_CACHE[key] = fn
+    return fn
+
+
 def render3d(tape: Tape, mat=None, size: int = 256,
              with_normals: bool = True):
     """Render depth (+ normals) like render3D
@@ -331,8 +396,8 @@ def render3d(tape: Tape, mat=None, size: int = 256,
     cfg = _config.get()
     n = size // TILE
     while True:
-        depth, normals, counters = _render3d_jit(td, jnp.asarray(mat), size,
-                                                 with_normals, cfg)
+        frame = cached_frame3d(td, size, with_normals, cfg)
+        depth, normals, counters = frame(td, jnp.asarray(mat))
         c = np.asarray(counters)
         if c[0] <= c[2] and c[1] <= c[3]:
             return np.asarray(depth), (None if normals is None

@@ -735,7 +735,7 @@ def tape_key(tape: Tape, imm_inputs: bool = False) -> str:
         h.update(np.ascontiguousarray(a).tobytes())
     h.update(bytes(tape.axis_slots) + bytes([tape.result_slot]))
     h.update(bytes([cfg.tight_sincos, cfg.fast_transcendentals,
-                    imm_inputs]))
+                    cfg.widen_intervals, imm_inputs]))
     h.update(np.float32(cfg.compile_effort).tobytes())
     return h.hexdigest()
 

@@ -19,13 +19,31 @@ def _capped_sphere():
 def test_ssao_range_and_support():
     tape = compile_tree(_capped_sphere())
     depth, normals = render3d(tape, size=128)
-    occ = np.asarray(effects.draw_ssao(depth, normals))
-    assert occ.shape == depth.shape
+    for mode in ("static", "gather"):
+        occ = np.asarray(effects.draw_ssao(depth, normals, mode=mode))
+        assert occ.shape == depth.shape
+        m = depth > 0
+        assert np.all(occ[~m] == 0.0)
+        assert np.all(occ[m] >= 0.0) and np.all(occ[m] <= 1.0)
+        # open areas of the cap should be mostly unoccluded
+        assert occ[m].mean() > 0.5, mode
+
+
+def test_ssao_static_agrees_with_gather():
+    """The gather-free static-offset mode (the TPU-fast mechanism,
+    effects.ssao_raw_static) must agree with the reference-mechanism
+    gather mode on smooth geometry: same support, and occlusion values
+    within a small mean absolute difference (the sampling patterns
+    differ, so pointwise equality is not expected)."""
+    tape = compile_tree(_capped_sphere())
+    depth, normals = render3d(tape, size=128)
+    a = np.asarray(effects.draw_ssao(depth, normals, mode="static",
+                                     ao_scale=1))
+    b = np.asarray(effects.draw_ssao(depth, normals, mode="gather",
+                                     ao_scale=1))
     m = depth > 0
-    assert np.all(occ[~m] == 0.0)
-    assert np.all(occ[m] >= 0.0) and np.all(occ[m] <= 1.0)
-    # open areas of the cap should be mostly unoccluded
-    assert occ[m].mean() > 0.5
+    assert (a[m] > 0).mean() > 0.95 and (b[m] > 0).mean() > 0.95
+    assert np.abs(a[m] - b[m]).mean() < 0.12, np.abs(a[m] - b[m]).mean()
 
 
 def test_ssao_flat_cap_brighter_than_crease():

@@ -81,6 +81,33 @@ def test_gyroid_normals_vs_autodiff():
     assert np.allclose(g, normals[ys, xs], atol=1e-3)
 
 
+def test_cached_frame3d_shared_across_edits():
+    """The 3D zero-recompile interactive contract (cached_frame3d):
+    tapes sharing (capacity bucket, ops_present, slot bucket) reuse ONE
+    executable — the volatile metadata rides as a runtime input — and
+    each renders exactly (vs the brute oracle)."""
+    import jax.numpy as jnp
+    from mpr_tpu.ops.tape_data import TapeData
+    from mpr_tpu.render import pipeline3d
+
+    t1 = compile_tree(shapes.sphere(0.6))
+    t2 = compile_tree(shapes.union(shapes.sphere(0.45, cx=-0.25),
+                                   shapes.sphere(0.3, cx=0.35, cy=0.2)))
+    td1, td2 = TapeData.from_tape(t1), TapeData.from_tape(t2)
+    assert td1.length != td2.length
+    assert td1.capacity == td2.capacity
+    pipeline3d._FRAME3D_CACHE.clear()
+    mat = jnp.asarray(camera.identity3())
+    f1 = pipeline3d.cached_frame3d(td1, 128)
+    d1, n1, _ = f1(td1, mat)
+    if set(td2.ops_present) == set(td1.ops_present):
+        assert len(pipeline3d._FRAME3D_CACHE) == 1
+    f2 = pipeline3d.cached_frame3d(td2, 128)
+    d2, n2, _ = f2(td2, mat)
+    assert np.array_equal(np.asarray(d1), render3d_brute(t1, size=128))
+    assert np.array_equal(np.asarray(d2), render3d_brute(t2, size=128))
+
+
 @pytest.mark.slow
 def test_two_spheres_512_exact():
     """Staged-vs-brute exactness at a benchmark-table size: 512 has

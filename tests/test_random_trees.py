@@ -127,6 +127,147 @@ def test_interval_soundness_random_trees():
         assert ok.all(), (int(np.argmin(ok)), il[~ok], ih[~ok], v[~ok])
 
 
+def test_widened_intervals_contain_unwidened_and_are_sound():
+    """config.widen_intervals (the directed-rounding substitute,
+    interval_math.widen): widened boxes must CONTAIN the round-to-nearest
+    boxes, and must cover float64 point evaluations with essentially no
+    slop — where the unwidened test above needs a 1e-4 allowance.
+    Ref: /root/reference/inc/gpu_interval.hpp:18-43 (__fadd_rd/__fadd_ru)."""
+    from mpr_tpu import config
+    rng = np.random.default_rng(17)
+    n = 64
+    for t, tape in _TREES:
+        lo = rng.uniform(-1, 1, (3, n)).astype(np.float32)
+        hi = (lo + rng.uniform(0, 0.5, (3, n))).astype(np.float32)
+        il0, ih0, _ = oracle.eval_i(tape, lo[0], hi[0], lo[1], hi[1],
+                                    lo[2], hi[2])
+        with config.override(widen_intervals=True):
+            il1, ih1, _ = oracle.eval_i(tape, lo[0], hi[0], lo[1], hi[1],
+                                        lo[2], hi[2])
+        both = ~(np.isnan(il0) | np.isnan(il1))
+        # containment: widened ⊇ round-to-nearest
+        assert (il1[both] <= il0[both]).all()
+        assert (ih1[both] >= ih0[both]).all()
+        # soundness vs near-real (float64) point values, ~zero slop: the
+        # widened endpoints bound the REAL range; float64 point evals sit
+        # within ~1e-12 relative of it
+        u = rng.uniform(0, 1, (3, n)).astype(np.float32)
+        p = (lo + u * (hi - lo)).astype(np.float32)
+        v64 = _eval_f64(tape, p)
+        eps = 1e-9 + 1e-9 * np.abs(v64)
+        ok = np.isnan(il1) | np.isnan(ih1) | (
+            (v64 >= il1 - eps) & (v64 <= ih1 + eps))
+        assert ok.all(), (il1[~ok], ih1[~ok], v64[~ok])
+
+
+def _eval_f64(tape, p):
+    """Float64 tape point-eval (the 'near-real-arithmetic' reference for
+    the widening soundness test).  sin/cos excluded upstream? No — the
+    interval quirk makes sin/cos [-1,1], which covers any point value."""
+    from mpr_tpu.tape.opcodes import Op
+    S = tape.num_slots
+    v = np.zeros((S, p.shape[1]), dtype=np.float64)
+    sx, sy, sz = tape.axis_slots
+    if sx:
+        v[sx] = p[0]
+    if sy:
+        v[sy] = p[1]
+    if sz:
+        v[sz] = p[2]
+    with np.errstate(all="ignore"):
+        for ti in range(tape.length):
+            op = int(tape.ops[ti])
+            o, l, r = (int(tape.outs[ti]), int(tape.lhss[ti]),
+                       int(tape.rhss[ti]))
+            imm = float(np.float32(tape.imms[ti]))
+            a, b = v[l], v[r]
+            if op == Op.SQUARE_LHS:
+                v[o] = a * a
+            elif op == Op.SQRT_LHS:
+                v[o] = np.sqrt(a)
+            elif op == Op.NEG_LHS:
+                v[o] = -a
+            elif op == Op.SIN_LHS:
+                v[o] = np.sin(a)
+            elif op == Op.COS_LHS:
+                v[o] = np.cos(a)
+            elif op == Op.ASIN_LHS:
+                v[o] = np.arcsin(a)
+            elif op == Op.ACOS_LHS:
+                v[o] = np.arccos(a)
+            elif op == Op.ATAN_LHS:
+                v[o] = np.arctan(a)
+            elif op == Op.EXP_LHS:
+                v[o] = np.exp(a)
+            elif op == Op.ABS_LHS:
+                v[o] = np.abs(a)
+            elif op == Op.LOG_LHS:
+                v[o] = np.log(a)
+            elif op == Op.ADD_LHS_IMM:
+                v[o] = a + imm
+            elif op == Op.ADD_LHS_RHS:
+                v[o] = a + b
+            elif op == Op.MUL_LHS_IMM:
+                v[o] = a * imm
+            elif op == Op.MUL_LHS_RHS:
+                v[o] = a * b
+            elif op == Op.MIN_LHS_IMM:
+                v[o] = np.minimum(a, imm)
+            elif op == Op.MIN_LHS_RHS:
+                v[o] = np.minimum(a, b)
+            elif op == Op.MAX_LHS_IMM:
+                v[o] = np.maximum(a, imm)
+            elif op == Op.MAX_LHS_RHS:
+                v[o] = np.maximum(a, b)
+            elif op == Op.SUB_LHS_IMM:
+                v[o] = a - imm
+            elif op == Op.SUB_IMM_RHS:
+                v[o] = imm - b
+            elif op == Op.SUB_LHS_RHS:
+                v[o] = a - b
+            elif op == Op.DIV_LHS_IMM:
+                v[o] = a / imm
+            elif op == Op.DIV_IMM_RHS:
+                v[o] = imm / b
+            elif op == Op.DIV_LHS_RHS:
+                v[o] = a / b
+            elif op == Op.COPY_IMM:
+                v[o] = imm
+            elif op == Op.COPY_LHS:
+                v[o] = a.copy()
+            elif op == Op.COPY_RHS:
+                v[o] = b.copy()
+            elif op == Op.HYPOT_LHS_RHS:
+                v[o] = np.sqrt(a * a + b * b)
+            elif op == Op.ADDSQ_LHS_RHS:
+                v[o] = a * a + b
+            else:
+                raise ValueError(op)
+    return v[tape.result_slot]
+
+
+@pytest.mark.slow
+def test_widened_pipeline_render_stays_exact():
+    """With widen_intervals=True the staged 2D pipeline must still match
+    the oracle exactly: widening can only move tiles from decided to
+    ambiguous, and ambiguous tiles are per-pixel evaluated with the
+    (unchanged) float semantics.  slow: the widened kernel set is a
+    fresh multi-minute XLA:CPU compile (distinct cached_frame key)."""
+    from mpr_tpu import config
+    from mpr_tpu.frontend import shapes
+    from mpr_tpu.render import pipeline2d
+    t = shapes.union(shapes.circle(0.52, cx=-0.2),
+                     shapes.circle(0.33, cx=0.35, cy=0.25))
+    tape = compile_tree(t)
+    with config.override(widen_intervals=True):
+        img = pipeline2d.render2d(tape, size=128)
+    xs = (np.arange(128) + 0.5) / 128 * 2 - 1
+    X, Y = np.meshgrid(xs, xs)
+    want = oracle.eval_f(tape, X.astype(np.float32),
+                         Y.astype(np.float32)) < 0
+    assert np.array_equal(img, want)
+
+
 def test_shorten_exact_inside_box():
     rng = np.random.default_rng(13)
     for t, tape in _TREES:
