@@ -258,7 +258,23 @@ def _eval_src(src: str, path: str = "<viewer>"):
         return list(res.shapes), {"size": None, "mode": mode,
                                   "engine": None, "view": None,
                                   "vars": dict(res.vars)}
-    env = {"__builtins__": __builtins__}
+    # Restricted-builtins exec, the viewer-script analog of the
+    # reference's eval-sandboxed Guile (/root/reference/gui/
+    # interpreter.cpp:22-50): scene scripts get the DSL + benign
+    # builtins, no import/open/exec.  MPR_TPU_TRUST_SCRIPTS=1 restores
+    # full builtins for local power users.
+    import builtins as _b
+    if os.environ.get("MPR_TPU_TRUST_SCRIPTS") == "1":
+        allowed = __builtins__
+    else:
+        allowed = {k: getattr(_b, k) for k in (
+            "abs", "all", "any", "bool", "dict", "divmod", "enumerate",
+            "filter", "float", "int", "len", "list", "map", "max", "min",
+            "pow", "print", "range", "reversed", "round", "set", "slice",
+            "sorted", "str", "sum", "tuple", "zip", "True", "False",
+            "None", "ValueError", "TypeError", "Exception",
+        ) if hasattr(_b, k)}
+    env = {"__builtins__": allowed}
     env.update({k: getattr(shapelib, k) for k in dir(shapelib)
                 if not k.startswith("_")})
     for k in ("x", "y", "z", "const", "var", "minimum", "maximum", "sqrt",

@@ -219,3 +219,24 @@ def test_save_stl(tmp_path):
     # errors are reported, not raised
     out, err = viewer._save_stl("(circle", path)
     assert out == "" and "save_stl failed" in err
+
+
+def test_python_scripts_are_sandboxed(monkeypatch):
+    """Viewer Python scenes run with restricted builtins (the
+    eval-sandboxed Guile analog, /root/reference/gui/interpreter.cpp:
+    22-50): no import, no file IO; benign builtins + the DSL work."""
+    monkeypatch.delenv("MPR_TPU_TRUST_SCRIPTS", raising=False)
+    shapes_, _ = viewer._eval_src(
+        "shapes = [circle(0.1 + 0.05 * i) for i in range(3)]\n"
+        "n = len(shapes); assert min(1, 2) == 1\n", "s.py")
+    assert len(shapes_) == 3
+    import pytest
+    with pytest.raises(ImportError):
+        viewer._eval_src("import os\nshape = circle(0.1)\n", "s.py")
+    with pytest.raises(NameError):
+        viewer._eval_src("open('/etc/passwd')\n", "s.py")
+    # the escape hatch restores full builtins
+    monkeypatch.setenv("MPR_TPU_TRUST_SCRIPTS", "1")
+    shapes_, _ = viewer._eval_src(
+        "import math\nshape = circle(math.sin(0.5))\n", "s.py")
+    assert len(shapes_) == 1
