@@ -244,7 +244,6 @@ def cmd_table3d(args):
     import jax.numpy as jnp
     from .ops.tape_data import TapeData
     from .render import camera, unrolled
-    from .render.pipeline3d import _render3d_jit
     tape = _load(args.file)
     mat = jnp.asarray(camera.bench3d_view())
 
@@ -256,12 +255,37 @@ def cmd_table3d(args):
             # converge to the snug steady-state tier (see table2d)
             return r.steady_frame3d(mat_np, size), (mat,)
     else:
+        import dataclasses
+
+        import numpy as np
+
+        from . import config as _config
+        from .render.pipeline3d import cached_frame3d
         td = TapeData.from_tape(tape)
 
         def frame_of_size(size):
+            # converge the capacity config exactly like render3d's
+            # grow-and-retry, then time the converged zero-recompile
+            # frame (cached_frame3d, the r5 interactive 3D contract)
+            cfg = _config.get()
+            n = size // 64
+            while True:
+                fr = cached_frame3d(td, size, True, cfg)
+                _, _, counters = fr(td, mat)
+                c = np.asarray(counters)
+                if c[0] <= c[2] and c[1] <= c[3]:
+                    break
+                grow = {}
+                if c[0] > c[2]:
+                    grow["p0_scale"] = cfg.p0_scale * 2
+                if c[1] > c[3]:
+                    grow["c1_scale"] = cfg.c1_scale * 2
+                cfg = dataclasses.replace(cfg, **grow)
+                if cfg.p0_scale > 64 * n and cfg.c1_scale > 64 * 64 * n:
+                    break
+
             def frame(mat):
-                depth, normals, _ = _render3d_jit(td, mat, size, True)
-                return depth
+                return fr(td, mat)[0]
             return frame, (mat,)
 
     sizes = args.sizes or [256, 512, 1024, 1536, 2048]

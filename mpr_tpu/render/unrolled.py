@@ -409,7 +409,7 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
                    pn: int, with_normals: bool, skip4: bool = False,
                    debug_stage: str = "", r0=None,
                    rows: Optional[int] = None, c2a: int = 0,
-                   c2b: int = 0):
+                   c2b: int = 0, c3: int = 0):
     """3D ladder 64^3 -> 16^3 -> 4^3 -> voxel (the reference's full stage
     list, /root/reference/src/context.cpp:21-26), with occlusion culling
     between every stage (mask_filled_tiles analog,
@@ -597,6 +597,85 @@ def _render3d_impl(fi, f, fd, mat, size: int, p0: int, c1: int, c2: int,
         patch_b, rows_vb = eval_cells(ids_b, nb, c2b)
         dblk = _row_max(dblk, rows_vb, patch_b, rows4 * n4)
         counters = jnp.stack([n0, n1, n2, na, nb, jnp.int32(0)])
+    elif c3 > 0:
+        # ---- 2^3 SUB-REFINEMENT (VERDICT r4 item 7 lever (b)): before
+        # evaluating all 64 voxels of each surviving 4^3 cell, interval-
+        # classify its eight 2^3 children and voxel-evaluate only the
+        # ambiguous ones (8 voxels each); filled children compose their
+        # top depth directly.  Lane-layout discipline: children and
+        # voxels live in FLAT block-concatenated vectors (block k =
+        # contiguous (cap,) slice), never (N, 4/8)-shaped arrays whose
+        # minor dim XLA:TPU would pad to 128 (see _zmax4's measured 6x).
+        ids2, n2 = barrier(_compact_ids(surv2, c2))
+        if debug_stage == "Bp":
+            return None, None, zero6 + ids2[0] + n2
+        g4x_c = barrier(g4x[ids2])
+        g4y_c = barrier(g4y[ids2])
+        g4z_c = barrier(g4z[ids2])
+        ok2 = jnp.arange(c2, dtype=jnp.int32) < jnp.minimum(n2, c2)
+        # children block layout: lane = k*c2 + i, k = (cz2*2+cy2)*2+cx2
+        kx = [k % 2 for k in range(8)]
+        ky = [(k // 2) % 2 for k in range(8)]
+        kz = [k // 4 for k in range(8)]
+        g2x = jnp.concatenate([g4x_c * 2 + kx[k] for k in range(8)])
+        g2y = jnp.concatenate([g4y_c * 2 + ky[k] for k in range(8)])
+        g2z = jnp.concatenate([g4z_c * 2 + kz[k] for k in range(8)])
+        lo, hi = fi(*barrier(tuple(_cell_boxes_3d(mat, g2x, g2y, g2z,
+                                                  2 * n4))))
+        okc = jnp.tile(ok2, 8)
+        st3 = jnp.where(okc, _classify(lo, hi), ST_EMPTY)
+        if debug_stage == "R":
+            m3 = (st3 == ST_AMBIG).sum().astype(jnp.int32)
+            return None, None, zero6 + m3
+        # filled children -> per-parent (c2, 16) patch (columns expand
+        # 2x2; value = child top depth, maxed over the two cz2 blocks)
+        ftop = jnp.where(st3 == ST_FILLED, (g2z + 1) * 2, 0)
+        fm = [jnp.maximum(ftop[k * c2:(k + 1) * c2],
+                          ftop[(k + 4) * c2:(k + 5) * c2])
+              for k in range(4)]                     # k = cy2*2+cx2
+        patchf = jnp.stack(
+            [fm[(e // 8) * 2 + (e % 4) // 2] for e in range(16)], axis=1)
+        rows_v = jnp.where(ok2, (g4y_c - r0 * 16) * n4 + g4x_c,
+                           rows4 * n4)
+        # ambiguous children -> 8-voxel evaluation, block layout
+        # lane = v*c3 + j, v = (vz*2+vy)*2+vx
+        ids3, m3 = barrier(_compact_ids(st3 == ST_AMBIG, c3))
+        k3 = ids3 // c2
+        par3 = ids3 % c2
+        g2x_c = barrier(g4x_c[par3] * 2 + (k3 % 2))
+        g2y_c = barrier(g4y_c[par3] * 2 + ((k3 // 2) % 2))
+        g2z_c = barrier(g4z_c[par3] * 2 + (k3 // 4))
+        gvx = jnp.concatenate([g2x_c * 2 + kx[v] for v in range(8)])
+        gvy = jnp.concatenate([g2y_c * 2 + ky[v] for v in range(8)])
+        gvz = jnp.concatenate([g2z_c * 2 + kz[v] for v in range(8)])
+        fx = (gvx.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        fy = (gvy.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        fz = (gvz.astype(jnp.float32) + 0.5) / size * 2.0 - 1.0
+        wx, wy, wz = barrier(camera.transform3(mat, fx, fy, fz, jnp))
+        val = f(wx, wy, wz)
+        ok3 = jnp.tile(jnp.arange(c3, dtype=jnp.int32)
+                       < jnp.minimum(m3, c3), 8)
+        vtop = jnp.where((val < 0.0) & ok3, gvz + 1, 0)
+        cm = [jnp.maximum(vtop[v * c3:(v + 1) * c3],
+                          vtop[(v + 4) * c3:(v + 5) * c3])
+              for v in range(4)]                     # v = vy*2+vx
+        cy2 = (k3 // 2) % 2
+        cx2 = k3 % 2
+        patcha = jnp.stack(
+            [jnp.where((jnp.int32(e // 8) == cy2)
+                       & (jnp.int32((e % 4) // 2) == cx2),
+                       cm[((e // 4) % 2) * 2 + (e % 2)], 0)
+             for e in range(16)], axis=1)
+        rows_a = jnp.where(jnp.arange(c3) < jnp.minimum(m3, c3),
+                           (g2y_c // 2 - r0 * 16) * n4 + g2x_c // 2,
+                           rows4 * n4)
+        if debug_stage == "V":
+            return None, None, zero6 + patcha[0, 0] + patchf[0, 0]
+        dblk = _row_max(jnp.broadcast_to(h4flat[:, None],
+                                         (rows4 * n4, 16)),
+                        rows_v, patchf, rows4 * n4)
+        dblk = _row_max(dblk, rows_a, patcha, rows4 * n4)
+        counters = jnp.stack([n0, n1, n2, m3, jnp.int32(0), jnp.int32(0)])
     else:
         # ---- single-phase: all surviving ambiguous cells at once ------
         ids2, n2 = barrier(_compact_ids(surv2, c2))
