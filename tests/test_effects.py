@@ -1,12 +1,21 @@
 """SSAO + shading effects over the 3D pipeline's depth/normal outputs
 (functional parity with /root/reference/src/effects.cu via
-benchmark/render_effects.cpp's capped-sphere scene)."""
+benchmark/render_effects.cpp's capped-sphere scene).
+
+The depth/normals INPUT is produced by the NumPy oracle with the 3D
+pipeline's exact conventions (voxel-center sampling, depth = top filled
+voxel index + 1, normals sampled one voxel in front) — the effects
+stages are the unit under test here, and the oracle scene costs ~2 s
+where compiling the interp 3D pipeline on a 1-core CPU host costs
+~5 min (round-5 suite-budget work; pipeline-vs-oracle exactness is
+test_pipeline3d's job)."""
 
 import numpy as np
+import pytest
 
+from mpr_tpu import oracle
 from mpr_tpu.frontend import shapes
 from mpr_tpu.render import effects
-from mpr_tpu.render.pipeline3d import render3d
 from mpr_tpu.tape.tape import compile_tree
 
 
@@ -16,9 +25,35 @@ def _capped_sphere():
     return shapes.capped_sphere()
 
 
-def test_ssao_range_and_support():
+@pytest.fixture(scope="module")
+def scene():
+    """(depth, normals) of the capped sphere @128, oracle-computed with
+    render3d's conventions (render/pipeline3d.py docstring; identity
+    camera)."""
+    size = 128
     tape = compile_tree(_capped_sphere())
-    depth, normals = render3d(tape, size=128)
+    c = ((np.arange(size) + 0.5) / size * 2.0 - 1.0).astype(np.float32)
+    X = np.broadcast_to(c[None, None, :], (size, size, size))
+    Y = np.broadcast_to(c[None, :, None], (size, size, size))
+    Z = np.broadcast_to(c[:, None, None], (size, size, size))
+    vals = oracle.eval_f(tape, X, Y, Z)                # (z, y, x)
+    filled = vals < 0.0
+    iz1 = (np.arange(size) + 1)[:, None, None]
+    depth = np.max(np.where(filled, iz1, 0), axis=0).astype(np.int32)
+    zi = np.minimum(depth, size - 1).astype(np.float32)
+    zs = (zi + 0.5) / size * 2.0 - 1.0                 # one voxel in front
+    _, dx, dy, dz = oracle.eval_d(tape, np.broadcast_to(c[None, :],
+                                                        (size, size)),
+                                  np.broadcast_to(c[:, None],
+                                                  (size, size)), zs)
+    n = np.stack([dx, dy, dz], axis=-1)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    n[depth == 0] = 0.0
+    return depth, n.astype(np.float32)
+
+
+def test_ssao_range_and_support(scene):
+    depth, normals = scene
     for mode in ("static", "gather"):
         occ = np.asarray(effects.draw_ssao(depth, normals, mode=mode))
         assert occ.shape == depth.shape
@@ -29,14 +64,13 @@ def test_ssao_range_and_support():
         assert occ[m].mean() > 0.5, mode
 
 
-def test_ssao_static_agrees_with_gather():
+def test_ssao_static_agrees_with_gather(scene):
     """The gather-free static-offset mode (the TPU-fast mechanism,
     effects.ssao_raw_static) must agree with the reference-mechanism
     gather mode on smooth geometry: same support, and occlusion values
     within a small mean absolute difference (the sampling patterns
     differ, so pointwise equality is not expected)."""
-    tape = compile_tree(_capped_sphere())
-    depth, normals = render3d(tape, size=128)
+    depth, normals = scene
     a = np.asarray(effects.draw_ssao(depth, normals, mode="static",
                                      ao_scale=1))
     b = np.asarray(effects.draw_ssao(depth, normals, mode="gather",
@@ -46,20 +80,18 @@ def test_ssao_static_agrees_with_gather():
     assert np.abs(a[m] - b[m]).mean() < 0.12, np.abs(a[m] - b[m]).mean()
 
 
-def test_ssao_flat_cap_brighter_than_crease():
+def test_ssao_flat_cap_brighter_than_crease(scene):
     """The flat cap's interior is less occluded than the sphere/plane
     crease ring."""
-    tape = compile_tree(_capped_sphere())
-    depth, normals = render3d(tape, size=128)
+    depth, normals = scene
     occ = np.asarray(effects.draw_ssao(depth, normals))
     c = 64
     interior = occ[c - 6:c + 6, c - 6:c + 6].mean()
     assert interior > 0.8
 
 
-def test_shaded_lighting():
-    tape = compile_tree(_capped_sphere())
-    depth, normals = render3d(tape, size=128)
+def test_shaded_lighting(scene):
+    depth, normals = scene
     img = np.asarray(effects.draw_shaded(depth, normals))
     m = depth > 0
     assert np.all(img[~m] == 0.0)

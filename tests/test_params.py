@@ -94,14 +94,17 @@ def test_native_backend_rejects_params():
 # ---------------------------------------------------------------------------
 
 def test_pipelines_render_param_tape():
+    # size 64 on purpose: shares the structure-erased interp executable
+    # with test_viewer_var_override_rerenders' 64-px scene (one XLA:CPU
+    # pipeline compile for the module, ~3 min saved on the 1-core host)
     from mpr_tpu.render import pipeline2d, unrolled
     s = shapes.circle(T.var("r", 0.45))
     tape = compile_tree(s)
-    X, Y = _grid(128)
+    X, Y = _grid(64)
     want = oracle.eval_f(tape, X, Y, np.zeros_like(X)) < 0
-    got_i = np.asarray(pipeline2d.render2d(tape, size=128))
+    got_i = np.asarray(pipeline2d.render2d(tape, size=64))
     np.testing.assert_array_equal(got_i, want)
-    got_u = np.asarray(unrolled.render2d(tape, size=128))
+    got_u = np.asarray(unrolled.render2d(tape, size=64))
     np.testing.assert_array_equal(got_u, want)
 
 
