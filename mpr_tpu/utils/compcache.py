@@ -109,6 +109,15 @@ def code_fingerprint() -> str:
     return _CODE_FP
 
 
+# In-process memo keyed by the structural key: callers that rebuild a
+# frame after clearing their own caches (or two call sites sharing one
+# bucket) get the SAME jitted callable back instead of a fresh
+# jit(build_fn) whose XLA:CPU recompile costs minutes on a 1-core host.
+# Sound because the key fully determines the traced structure (that is
+# its contract with the persisted artifacts).
+_MEMO: dict = {}
+
+
 def cached_lowering(key: str, build_fn, *example_args,
                     compiler_options=None):
     """Persist trace+lowering as a ``jax.export`` artifact; return a
@@ -135,18 +144,26 @@ def cached_lowering(key: str, build_fn, *example_args,
     a fresh build and overwrite the artifact."""
     import jax
     from functools import partial
+    memo_key = (key, jax.default_backend())
+    fn = _MEMO.get(memo_key)
+    if fn is not None:
+        ledger.append((key, "memo"))
+        return fn
     jit = jax.jit if compiler_options is None else partial(
         jax.jit, compiler_options=compiler_options)
     if jax.default_backend() != "tpu":
         ledger.append((key, "cpu"))
-        return jit(build_fn)
+        fn = jit(build_fn)
+        _MEMO[memo_key] = fn
+        return fn
     enable()   # artifact hit -> XLA compile is next; make it cached too
     path = cache_dir() / f"exp_{key}_{code_fingerprint()}.bin"
     if path.exists():
         try:
             exp = jax.export.deserialize(path.read_bytes())
             ledger.append((path.name, "hit"))
-            return jit(exp.call)
+            fn = _MEMO[memo_key] = jit(exp.call)
+            return fn
         except Exception as e:                      # noqa: BLE001
             ledger.append((path.name, "stale"))
             print(f"compcache: stale export artifact {path.name} "
@@ -161,7 +178,8 @@ def cached_lowering(key: str, build_fn, *example_args,
         # take the render down with it
         print(f"compcache: export failed for {path.name} "
               f"({type(e).__name__}: {e}); using uncached jit", flush=True)
-        return jit(build_fn)
+        fn = _MEMO[memo_key] = jit(build_fn)
+        return fn
     try:
         # serialize() itself can raise (e.g. an unregistered custom
         # pytree when register_pytree_node_serialization was skipped on
@@ -171,7 +189,8 @@ def cached_lowering(key: str, build_fn, *example_args,
     except Exception as e:                          # noqa: BLE001
         print(f"compcache: could not persist {path.name} "
               f"({type(e).__name__}: {e})", flush=True)
-    return jit(exp.call)
+    fn = _MEMO[memo_key] = jit(exp.call)
+    return fn
 
 
 def _obs_path(tape_key: str) -> Path:

@@ -275,6 +275,10 @@ def _eval_src(src: str, path: str = "<viewer>"):
             "None", "ValueError", "TypeError", "Exception",
         ) if hasattr(_b, k)}
     env = {"__builtins__": allowed}
+    # archive loading stays available inside the sandbox (the generated
+    # .frep editing view uses it; no import machinery needed)
+    from .frontend.frep import load as _frep_load
+    env["load_frep"] = _frep_load
     env.update({k: getattr(shapelib, k) for k in dir(shapelib)
                 if not k.startswith("_")})
     for k in ("x", "y", "z", "const", "var", "minimum", "maximum", "sqrt",
@@ -678,8 +682,8 @@ def _script_for_frep(path: str) -> str:
     return (f"# generated editing view of {os.path.basename(path)}\n"
             f"# (save writes this script next to the archive; the\n"
             f"#  archive itself is never overwritten)\n"
-            f"from mpr_tpu.frontend.frep import load\n"
-            f"shapes = [s.tree for s in load({os.path.abspath(path)!r})]\n"
+            f"shapes = [s.tree for s in "
+            f"load_frep({os.path.abspath(path)!r})]\n"
             f"MODE = {mode!r}\n")
 
 

@@ -37,6 +37,18 @@ import tempfile
 os.environ.setdefault(
     "MPR_TPU_CACHE_DIR", tempfile.mkdtemp(prefix="mpr_tpu_test_cache_"))
 
+# The suite is COMPILE-bound on a 1-core host: XLA:CPU's default
+# optimization pipeline costs minutes per interp-pipeline executable
+# (measured 2026-08-21: the same circle@128 interp frame compiles in
+# ~110 s at optimization level 0 vs ~12 min at the default, with
+# bit-identical output and no measurable runtime change at test sizes).
+# Tests only ever compile small graphs and throw them away; production
+# TPU paths never see this env (bench.py/CLI run without conftest).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_backend_optimization_level" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_backend_optimization_level=0").strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
