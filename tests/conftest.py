@@ -132,9 +132,15 @@ _HEFTY_MODULES = ("test_pipeline3d", "test_unrolled", "test_fit",
 
 @pytest.fixture(autouse=True, scope="module")
 def _release_xla_executables_per_module(request):
-    """Drop executables after HEFTY test files (see _HEFTY_MODULES)."""
+    """Drop executables after HEFTY test files (see _HEFTY_MODULES) —
+    but only under --runslow: the default suite's executables are small
+    (its peak RSS is far from the 130 GB the benchmark-size slow tests
+    reached), and clearing between modules forfeits the cross-module
+    executable sharing the structure-erased frame keys exist for
+    (several minutes of XLA:CPU recompiles on this host)."""
     yield
-    if request.module.__name__.split(".")[-1] in _HEFTY_MODULES:
+    if (request.config.getoption("--runslow")
+            and request.module.__name__.split(".")[-1] in _HEFTY_MODULES):
         import gc
         jax.clear_caches()
         gc.collect()

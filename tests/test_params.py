@@ -94,17 +94,18 @@ def test_native_backend_rejects_params():
 # ---------------------------------------------------------------------------
 
 def test_pipelines_render_param_tape():
-    # size 64 on purpose: shares the structure-erased interp executable
-    # with test_viewer_var_override_rerenders' 64-px scene (one XLA:CPU
-    # pipeline compile for the module, ~3 min saved on the 1-core host)
+    # size 128 on purpose: shares the structure-erased interp executable
+    # with test_viewer_var_override_rerenders' scene and the circle-
+    # family @128 tests in test_pipeline2d/test_viewer (one XLA:CPU
+    # pipeline compile across the modules, minutes saved on this host)
     from mpr_tpu.render import pipeline2d, unrolled
     s = shapes.circle(T.var("r", 0.45))
     tape = compile_tree(s)
-    X, Y = _grid(64)
+    X, Y = _grid(128)
     want = oracle.eval_f(tape, X, Y, np.zeros_like(X)) < 0
-    got_i = np.asarray(pipeline2d.render2d(tape, size=64))
+    got_i = np.asarray(pipeline2d.render2d(tape, size=128))
     np.testing.assert_array_equal(got_i, want)
-    got_u = np.asarray(unrolled.render2d(tape, size=64))
+    got_u = np.asarray(unrolled.render2d(tape, size=128))
     np.testing.assert_array_equal(got_u, want)
 
 
@@ -210,9 +211,9 @@ def test_viewer_var_override_rerenders():
     src = "(var r 0.3 0.1 0.8)\n(circle r)\n"
     cam = {"yaw": 0.0, "pitch": 0.0, "persp": 0.0,
            "scale": 1.0, "panx": 0.0, "pany": 0.0}
-    img1, _, v1 = viewer.render_scene(src, cam, "2d", 64, "interp",
+    img1, _, v1 = viewer.render_scene(src, cam, "2d", 128, "interp",
                                       "scene.io")
-    img2, _, v2 = viewer.render_scene(src, cam, "2d", 64, "interp",
+    img2, _, v2 = viewer.render_scene(src, cam, "2d", 128, "interp",
                                       "scene.io", var_values={"r": 0.6})
     assert (img2 > 0).sum() > (img1 > 0).sum() * 2
     assert v1["r"] == (0.3, 0.1, 0.8)

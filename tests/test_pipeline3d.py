@@ -45,6 +45,14 @@ def test_two_spheres_rotated():
 
 
 def test_bear(models_dir):
+    # 128 on the 1-core host: the brute reference at 256^3 costs minutes
+    # of scan-interpreter runtime; @256 exactness runs under --runslow
+    tree = frep.load(str(models_dir / "bear.frep"))[0].tree
+    _check(tree, 128, mat=camera.bench3d_view())
+
+
+@pytest.mark.slow
+def test_bear_256(models_dir):
     tree = frep.load(str(models_dir / "bear.frep"))[0].tree
     _check(tree, 256, mat=camera.bench3d_view())
 
@@ -90,7 +98,11 @@ def test_cached_frame3d_shared_across_edits():
     from mpr_tpu.ops.tape_data import TapeData
     from mpr_tpu.render import pipeline3d
 
-    t1 = compile_tree(shapes.sphere(0.6))
+    # both tapes from the union-of-spheres family so they share an op
+    # set (and, with luck, the two_spheres tests' already-compiled
+    # executable bucket — one interp-3D compile for the module)
+    t1 = compile_tree(shapes.union(shapes.sphere(0.5, cx=-0.2),
+                                   shapes.sphere(0.25, cx=0.4)))
     t2 = compile_tree(shapes.union(shapes.sphere(0.45, cx=-0.25),
                                    shapes.sphere(0.3, cx=0.35, cy=0.2)))
     td1, td2 = TapeData.from_tape(t1), TapeData.from_tape(t2)

@@ -242,8 +242,11 @@ def test_render3d_skip4_exact(spheres_tape):
     assert (d_u == brute.render3d_brute(spheres_tape, size=128)).all()
 
 
-@pytest.mark.parametrize("name", ["prospero", "involute_gear_2d",
-                                  "architecture", "bear"])
+@pytest.mark.parametrize("name", [
+    # prospero's 5435-clause grad graph costs ~3 min of XLA:CPU compile
+    # alone; the three smaller models cover the same property per run
+    pytest.param("prospero", marks=pytest.mark.slow),
+    "involute_gear_2d", "architecture", "bear"])
 def test_pixel_gradients_match_scan(name):
     """BASELINE.md: d(pixels)/d(tape constants) allclose on the paper
     models — the unrolled engine's pixel stage (take_imms) against the
